@@ -13,4 +13,4 @@ Modules:
 - mvt      Mapbox Vector Tile protobuf encode/decode
 """
 
-from . import bounds, cells, fmt, geojson, model, pip, tiles, wkb, wkt  # noqa: F401
+from . import bounds, cells, fmt, geojson, model, mvt, pip, tiles, wkb, wkt  # noqa: F401
