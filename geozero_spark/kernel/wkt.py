@@ -324,7 +324,34 @@ def _parse_geom(p: _P) -> Geom:
     if not has_z and not has_m and width_seen[0] > 2:
         g.has_z = True
         g.has_m = width_seen[0] > 3
+    if g.has_m and not g.has_z:
+        # model convention packs M-without-Z as (x, y, None, m)
+        # (matches wkb._pack_coord; geometry_processor.rs:31-41 dims)
+        _remap_m_only(g)
     return g
+
+
+def _remap_m_only(g: Geom) -> None:
+    def fix(c):
+        return (c[0], c[1], None, c[2]) if c is not None and len(c) == 3 else c
+
+    k = g.kind
+    if k == POINT:
+        g.data = fix(g.data)
+    elif k in (LINESTRING, CIRCULARSTRING, MULTIPOINT):
+        g.data = [fix(c) for c in g.data]
+    elif k in (POLYGON, TRIANGLE, MULTILINESTRING):
+        g.data = [[fix(c) for c in seq] for seq in g.data]
+    elif k in (MULTIPOLYGON, POLYHEDRALSURFACE, TIN):
+        g.data = [[[fix(c) for c in r] for r in rings] for rings in g.data]
+    elif k in (COMPOUNDCURVE, CURVEPOLYGON, MULTICURVE, MULTISURFACE,
+               GEOMETRYCOLLECTION):
+        # untagged members (plain coord runs inside curve containers)
+        # inherit the container's M-only layout
+        for m in g.data:
+            if not m.has_z and not m.has_m:
+                m.has_m = True
+                _remap_m_only(m)
 
 
 def _inherit_dims(g: Geom) -> None:
