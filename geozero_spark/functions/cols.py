@@ -1,0 +1,64 @@
+"""JVM-side Column helpers over the geometry struct — no Python workers.
+
+The reference's coordinate-transform interposer (`pre_process_xy`,
+geozero/src/wrap.rs:5-54) becomes a Catalyst `transform()` over the flat
+coords array; bbox/point accessors are plain field reads. Keeping these
+as built-in expressions keeps the post-decode pipeline inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def scale_flat(geom: Column, factor: float) -> Column:
+    """Uniformly scale a FLAT geometry struct (coords + bbox); exotic
+    kinds carrying a wkb fallback are not supported on this JVM path —
+    route those through a UDF if ever needed."""
+    f = F.lit(float(factor))
+    return F.when(geom.isNull(), F.lit(None)).otherwise(F.struct(
+        geom["kind"].alias("kind"),
+        geom["srid"].alias("srid"),
+        geom["has_z"].alias("has_z"),
+        geom["has_m"].alias("has_m"),
+        F.transform(geom["bbox"], lambda v: v * f).alias("bbox"),
+        F.transform(geom["coords"], lambda v: v * f).alias("coords"),
+        geom["offs1"].alias("offs1"),
+        geom["offs2"].alias("offs2"),
+        geom["wkb"].alias("wkb"),
+    ))
+
+
+def point_x(geom: Column) -> Column:
+    return F.element_at(geom["coords"], 1)
+
+
+def point_y(geom: Column) -> Column:
+    return F.element_at(geom["coords"], 2)
+
+
+def bbox_xmin(geom: Column) -> Column:
+    return F.element_at(geom["bbox"], 1)
+
+
+def bbox_ymin(geom: Column) -> Column:
+    return F.element_at(geom["bbox"], 2)
+
+
+def bbox_xmax(geom: Column) -> Column:
+    return F.element_at(geom["bbox"], 3)
+
+
+def bbox_ymax(geom: Column) -> Column:
+    return F.element_at(geom["bbox"], 4)
+
+
+def bbox_intersects(geom: Column, xmin: float, ymin: float, xmax: float,
+                    ymax: float) -> Column:
+    """PostGIS `&&` equivalent (geozero-bench/benches/geobench.rs:84-90)."""
+    return (bbox_xmin(geom) <= F.lit(xmax)) & \
+           (bbox_xmax(geom) >= F.lit(xmin)) & \
+           (bbox_ymin(geom) <= F.lit(ymax)) & \
+           (bbox_ymax(geom) >= F.lit(ymin))

@@ -1,0 +1,167 @@
+"""Arrow-batched pandas UDFs over the pure-Python geometry kernel.
+
+These are the Spark re-expression of geozero's fused reader->writer
+event pipelines (geozero/src/api.rs:17-41): one Arrow batch replaces one
+event stream, one vectorized UDF call replaces one read->process pass.
+Per the north rule, NO per-row Python UDFs — everything here is a
+``pandas_udf`` crossing the JVM boundary once per batch.
+
+Format parity lives in the kernel (tests replicate geozero's own hex
+fixtures); this module is only the batching shim. Anything expressible
+as a built-in Column expression (cell ids, tiles, bbox predicates) does
+NOT live here — see sqlgen.py — so the UDF path is reserved for actual
+codec work.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, ByteType,
+                               DoubleType, IntegerType, StringType,
+                               StructField, StructType)
+
+from ..kernel import bounds as kbounds
+from ..kernel import geojson as kgeojson
+from ..kernel import structrepr as sr
+from ..kernel import wkb as kwkb
+from ..kernel import wkt as kwkt
+from ..kernel.model import Geom
+
+# matches sr.GEOMETRY_DDL; built programmatically so no SparkSession is
+# needed at import time
+GEOMETRY_TYPE = StructType([
+    StructField("kind", ByteType()),
+    StructField("srid", IntegerType()),
+    StructField("has_z", BooleanType()),
+    StructField("has_m", BooleanType()),
+    StructField("bbox", ArrayType(DoubleType())),
+    StructField("coords", ArrayType(DoubleType())),
+    StructField("offs1", ArrayType(IntegerType())),
+    StructField("offs2", ArrayType(IntegerType())),
+    StructField("wkb", BinaryType()),
+])
+_FIELDS = [f.name for f in GEOMETRY_TYPE.fields]
+
+
+def _structs_to_pdf(structs: list[Optional[dict]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {f: [None if s is None else s[f] for s in structs] for f in _FIELDS})
+
+
+def _pdf_to_geoms(pdf: pd.DataFrame) -> list[Optional[Geom]]:
+    kinds = pdf["kind"]
+    out: list[Optional[Geom]] = []
+    for i, rec in enumerate(pdf.to_dict("records")):
+        if kinds.iloc[i] is None or (isinstance(kinds.iloc[i], float)
+                                     and np.isnan(kinds.iloc[i])):
+            out.append(None)
+        else:
+            out.append(sr.from_struct(rec))
+    return out
+
+
+def _decode_udf(decode: Callable[..., Geom], caster=lambda v: v,
+                strict: bool = False):
+    @pandas_udf(GEOMETRY_TYPE)
+    def f(s: pd.Series) -> pd.DataFrame:
+        structs: list[Optional[dict]] = []
+        for v in s:
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                structs.append(None)
+                continue
+            try:
+                structs.append(sr.to_struct(decode(caster(v))))
+            except Exception:
+                if strict:
+                    raise
+                structs.append(None)
+        return _structs_to_pdf(structs)
+
+    return f
+
+
+def st_geomfromwkt(strict: bool = False):
+    """string -> geometry struct (wkt_reader.rs:82-89 semantics)."""
+    return _decode_udf(kwkt.decode, strict=strict)
+
+
+def st_geomfromgeojson(strict: bool = False):
+    """GeoJSON geometry string -> struct (geojson_reader.rs:73-81)."""
+    return _decode_udf(kgeojson.decode, strict=strict)
+
+
+def st_geomfromwkb(dialect: str = kwkb.DIALECT_EWKB, strict: bool = False):
+    """binary -> struct; dialect in wkb/ewkb/gpkg/spatialite/mysql
+    (wkb_reader.rs:115-150)."""
+    return _decode_udf(lambda b: kwkb.decode(b, dialect=dialect),
+                       caster=bytes, strict=strict)
+
+
+def _encode_udf(encode: Callable[[Geom], object], ret):
+    @pandas_udf(ret)
+    def f(g: pd.DataFrame) -> pd.Series:
+        geoms = _pdf_to_geoms(g)
+        return pd.Series(
+            [None if gm is None else encode(gm) for gm in geoms],
+            dtype=object)
+
+    return f
+
+
+def st_aswkt():
+    """struct -> WKT string (wkt_writer.rs semantics incl. Rust f64
+    Display-compatible shortest-roundtrip formatting, kernel/fmt.py)."""
+    return _encode_udf(kwkt.encode, StringType())
+
+
+def st_asewkt():
+    return _encode_udf(
+        lambda g: kwkt.encode(g, dialect="ewkt", srid=g.srid), StringType())
+
+
+def st_asgeojson():
+    return _encode_udf(kgeojson.encode, StringType())
+
+
+def st_aswkb(dialect: str = kwkb.DIALECT_EWKB, srid: Optional[int] = None):
+    def enc(g: Geom) -> bytes:
+        if srid is not None:
+            g.srid = srid
+        return kwkb.encode(g, dialect=dialect)
+
+    return _encode_udf(enc, BinaryType())
+
+
+def st_npoints():
+    return _encode_udf(kbounds.npoints, IntegerType())
+
+
+def pip_refine():
+    """Exact even-odd ray-cast refine for the cell-prefiltered PIP join.
+
+    Args: (zone_id, poly_struct, px, py) per candidate row. Polygons are
+    decoded once per (batch, zone) and applied to the whole point slice
+    with the vectorized kernel (pip.points_in_polygon_np) — the Spark
+    dual of GEOS prepared-geometry reuse (geozero README.md:77-85).
+    """
+    from ..kernel import pip as kpip
+
+    @pandas_udf(BooleanType())
+    def f(zone: pd.Series, poly: pd.DataFrame, px: pd.Series,
+          py: pd.Series) -> pd.Series:
+        out = np.zeros(len(zone), dtype=bool)
+        if not len(zone):
+            return pd.Series(out)
+        pxv = px.to_numpy(dtype=np.float64)
+        pyv = py.to_numpy(dtype=np.float64)
+        for _, idx in zone.groupby(zone, sort=False).indices.items():
+            geom = sr.from_struct(
+                {k: poly[k].iloc[idx[0]] for k in _FIELDS})
+            out[idx] = kpip.points_in_polygon_np(pxv[idx], pyv[idx], geom)
+        return pd.Series(out)
+
+    return f

@@ -132,17 +132,19 @@ def from_struct(d: Optional[Any]) -> Optional[Geom]:
     has_m = bool(get("has_m"))
     srid = get("srid")
     w = 2 + (1 if has_z else 0) + (1 if has_m else 0)
-    coords = list(get("coords") or [])
+    _c = get("coords")
+    coords = [] if _c is None else list(_c)
     offs1 = get("offs1")
     if kind == POINT:
         data = tuple(coords[:w]) if coords else None
     elif kind in (LINESTRING, MULTIPOINT):
         data = [tuple(coords[i:i + w]) for i in range(0, len(coords), w)]
     elif kind in (POLYGON, MULTILINESTRING):
-        data = _unflat(coords, list(offs1 or [0]), w)
+        data = _unflat(coords, [0] if offs1 is None else list(offs1), w)
     elif kind == MULTIPOLYGON:
-        rings = _unflat(coords, list(offs1 or [0]), w)
-        offs2 = list(get("offs2") or [0])
+        rings = _unflat(coords, [0] if offs1 is None else list(offs1), w)
+        _o2 = get("offs2")
+        offs2 = [0] if _o2 is None else list(_o2)
         data = [rings[offs2[i]:offs2[i + 1]] for i in range(len(offs2) - 1)]
     else:  # pragma: no cover - exotic kinds always carry wkb
         raise ValueError(f"flat struct with unexpected kind {kind}")
@@ -168,7 +170,8 @@ def xy_np(d: Any) -> tuple[np.ndarray, np.ndarray]:
     has_z = bool(get("has_z"))
     has_m = bool(get("has_m"))
     w = 2 + (1 if has_z else 0) + (1 if has_m else 0)
-    arr = np.asarray(list(get("coords") or []), dtype=np.float64)
+    _c = get("coords")
+    arr = np.asarray([] if _c is None else list(_c), dtype=np.float64)
     if arr.size == 0:
         return np.empty(0), np.empty(0)
     arr = arr.reshape(-1, w)

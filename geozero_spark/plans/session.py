@@ -1,0 +1,37 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Settings chosen for the 100TB target, applied identically on local[N]:
+AQE on (runtime re-plan + skew-join splitting), partition coalescing,
+Arrow batching for the pandas-UDF codec path, and a shuffle-partition
+count the caller sizes to the cluster (defaults to cores on local).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def make_session(app: str = "geozero-spark", cpus: int | None = None,
+                 shuffle_partitions: int | None = None,
+                 extra: dict | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    b = (SparkSession.builder
+         .master(f"local[{cpus}]")
+         .appName(app)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_DRIVER_MEM", "8g"))
+         .config("spark.ui.enabled", "false"))
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,158 @@
+"""Deterministic synthetic web-pages + zones tables (dual-dialect SQL).
+
+The driver mandate (BASELINE.json input_hint) is an Iceberg-style table
+of Common-Crawl-style web pages ``(url, warc_ts, html, text, lang)``
+with geometries embedded in page payloads, and a per-url byte-identical
+extracted-text invariant versus the reference pipeline. We synthesize
+that table deterministically FROM the driver's ``documents`` parquet via
+a single SQL text valid in BOTH Spark SQL and DuckDB — the oracle then
+reconstructs every expected value from the same arithmetic, so the
+"byte-identical extracted text per url" check is exact, not approximate.
+
+Design notes for exact cross-engine agreement:
+
+- Embedded coordinates are INTEGER centi-degrees (the engine divides by
+  100 after decode — the columnar analogue of geozero's coordinate
+  transform `pre_process_xy`, geozero/src/wrap.rs:5-54). Integer-to-
+  string casts are identical across engines; float formatting is not.
+- Page points get EVEN centi-coords while zone centers/radii are ODD, so
+  the L1 distance (even) can never equal a radius (odd): point-in-zone
+  has no boundary ties, and the float ray-cast verdict provably matches
+  the integer oracle predicate.
+- ~20% of pages are clustered into 3 hot spots (inside zones 1/6/11) to
+  exercise hot-cell skew handling (salting, AQE skew join) — the skew
+  the north rule requires us to kill at 10^12-row scale.
+"""
+
+from __future__ import annotations
+
+from ..functions import sqlgen as sg
+
+# --- page point location (centi-degrees, always even) ---------------------
+_LON_BASE = "(2 * ((doc_id * 7919) % 18000) - 18000)"
+_LAT_BASE = "(2 * ((doc_id * 104729) % 9000) - 9000)"
+_JX = "(2 * ((doc_id * 31) % 50))"
+_JY = "(2 * ((doc_id * 17) % 50))"
+
+# hot spots sit inside zones 1, 6 and 11 (see ZONES_* below)
+LON_C = ("(CASE WHEN doc_id % 5 = 0 THEN "
+         f"(CASE doc_id % 15 WHEN 0 THEN 1300 WHEN 5 THEN -9200 "
+         f"ELSE 14300 END) + {_JX} "
+         f"ELSE {_LON_BASE} END)")
+LAT_C = ("(CASE WHEN doc_id % 5 = 0 THEN "
+         f"(CASE doc_id % 15 WHEN 0 THEN 6700 WHEN 5 THEN 200 "
+         f"ELSE -6300 END) + {_JY} "
+         f"ELSE {_LAT_BASE} END)")
+
+# --- embedded WKT snippets (pure int-to-string concat) ---------------------
+_S = "CAST({} AS STRING)"
+
+
+def _i(e: str) -> str:
+    return _S.format(e)
+
+
+LOC_WKT = f"('POINT(' || {_i(LON_C)} || ' ' || {_i(LAT_C)} || ')')"
+
+_LS_WKT = (f"('LINESTRING(' || {_i(LON_C)} || ' ' || {_i(LAT_C)} || ',' || "
+           f"{_i(f'{LON_C} + 100')} || ' ' || {_i(f'{LAT_C} + 50')} || ',' || "
+           f"{_i(f'{LON_C} + 200')} || ' ' || {_i(LAT_C)} || ')')")
+
+_PG_WKT = (f"('POLYGON((' || "
+           f"{_i(f'{LON_C} + 305')} || ' ' || {_i(LAT_C)} || ',' || "
+           f"{_i(LON_C)} || ' ' || {_i(f'{LAT_C} + 305')} || ',' || "
+           f"{_i(f'{LON_C} - 305')} || ' ' || {_i(LAT_C)} || ',' || "
+           f"{_i(LON_C)} || ' ' || {_i(f'{LAT_C} - 305')} || ',' || "
+           f"{_i(f'{LON_C} + 305')} || ' ' || {_i(LAT_C)} || '))')")
+
+GEO_WKT = (f"(CASE doc_id % 4 WHEN 1 THEN {_LS_WKT} "
+           f"WHEN 2 THEN {_PG_WKT} ELSE NULL END)")
+
+GEO_PART = (f"(CASE WHEN doc_id % 4 IN (1, 2) "
+            f"THEN ' geo:' || {GEO_WKT} || ';' ELSE '' END)")
+
+URL = ("('https://example' || CAST(doc_id % 100 AS STRING) || "
+       "'.org/page/' || CAST(doc_id AS STRING))")
+
+TEXT = (f"('GeoPage ' || {URL} || ' lang=' || lang || "
+        f"' loc:' || {LOC_WKT} || ';' || {GEO_PART} || "
+        f"' body: ' || text)")
+
+_WARC_EPOCH = 1767225600  # 2026-01-01T00:00:00Z
+
+
+def _warc_ts(d: str) -> str:
+    if d == sg.SPARK:
+        return f"timestamp_seconds({_WARC_EPOCH} + doc_id)"
+    return f"CAST(to_timestamp({_WARC_EPOCH} + doc_id) AS TIMESTAMP)"
+
+
+def _html(d: str, text_expr: str) -> str:
+    body = (f"('<html><head><title>' || {URL} || '</title></head><body><p>' "
+            f"|| {text_expr} || '</p></body></html>')")
+    return f"encode({body}, 'UTF-8')" if d == sg.SPARK else f"encode({body})"
+
+
+def pages_sql(d: str, documents: str = "documents") -> str:
+    """SELECT producing the pages table (url, warc_ts, html, text, lang)."""
+    return (f"SELECT {URL} AS url, {_warc_ts(d)} AS warc_ts, "
+            f"{_html(d, TEXT)} AS html, {TEXT} AS text, lang "
+            f"FROM {documents}")
+
+
+# --- zones: diamond polygons keyed by nation (centers/radii odd) -----------
+CX_C = "(((n_nationkey * 1543) % 340 - 170) * 100 + 51)"
+CY_C = "(((n_nationkey * 787) % 160 - 80) * 100 + 51)"
+R_C = "(601 + (n_nationkey % 7) * 100)"
+
+ZONE_WKT = (f"('POLYGON((' || "
+            f"{_i(f'{CX_C} + {R_C}')} || ' ' || {_i(CY_C)} || ',' || "
+            f"{_i(CX_C)} || ' ' || {_i(f'{CY_C} + {R_C}')} || ',' || "
+            f"{_i(f'{CX_C} - {R_C}')} || ' ' || {_i(CY_C)} || ',' || "
+            f"{_i(CX_C)} || ' ' || {_i(f'{CY_C} - {R_C}')} || ',' || "
+            f"{_i(f'{CX_C} + {R_C}')} || ' ' || {_i(CY_C)} || '))')")
+
+
+def zones_sql(d: str, nation: str = "nation") -> str:
+    """SELECT producing the zones table (zone_id, zone_name, zone_wkt)."""
+    return (f"SELECT CAST(n_nationkey AS BIGINT) AS zone_id, "
+            f"n_name AS zone_name, {ZONE_WKT} AS zone_wkt "
+            f"FROM {nation}")
+
+
+# --- Spark-side loaders -----------------------------------------------------
+
+def register_views(spark, sf_dir: str, tables=("documents", "nation")):
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def pages_df(spark, sf_dir: str, clones: int = 1):
+    """The pages DataFrame. ``clones > 1`` tiles the table deterministically
+    (distinct urls, shifted coords) for bench-scale runs — clone expansion
+    happens BEFORE payload synthesis so every clone re-runs the full
+    extract/decode path. Oracle-checked queries always use clones=1."""
+    register_views(spark, sf_dir)
+    if clones == 1:
+        return spark.sql(pages_sql(sg.SPARK))
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    docs = (docs
+            .withColumn("clone", F.explode(F.sequence(F.lit(0),
+                                                      F.lit(clones - 1))))
+            .withColumn("doc_id",
+                        F.col("doc_id") + F.col("clone") * F.lit(n_docs))
+            .drop("clone"))
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(pages_sql(sg.SPARK))
+
+
+def zones_df(spark, sf_dir: str):
+    register_views(spark, sf_dir)
+    return spark.sql(zones_sql(sg.SPARK))
+
+
+def duckdb_ctes() -> dict[str, str]:
+    """CTE bodies for oracle SQL: WITH pages AS (...), zones AS (...)."""
+    return {"pages": pages_sql(sg.DUCKDB), "zones": zones_sql(sg.DUCKDB)}
