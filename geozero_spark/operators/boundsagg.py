@@ -1,0 +1,28 @@
+"""Dataset bounds / coordinate-count aggregates.
+
+Parity target: geozero's streaming BoundsProcessor (geozero/src/
+bounds.rs:46-89) and the VertexCounter / MaxHeightFinder processing-API
+exemplars (geozero/tests/geozero-api.rs:5-67). In Spark these are
+partial+final aggregations over the materialized per-geometry bbox —
+O(1) state per partition, the same accumulator shape the reference
+streams through one coordinate at a time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dataset_bounds(df: DataFrame, geom: str = "geom") -> DataFrame:
+    """Global (xmin, ymin, xmax, ymax) + feature/coordinate counts."""
+    w = (f"CASE WHEN {geom}.has_z AND {geom}.has_m THEN 4 "
+         f"WHEN {geom}.has_z OR {geom}.has_m THEN 3 ELSE 2 END")
+    return df.where(F.col(geom).isNotNull()).agg(
+        F.min(F.expr(f"element_at({geom}.bbox, 1)")).alias("xmin"),
+        F.min(F.expr(f"element_at({geom}.bbox, 2)")).alias("ymin"),
+        F.max(F.expr(f"element_at({geom}.bbox, 3)")).alias("xmax"),
+        F.max(F.expr(f"element_at({geom}.bbox, 4)")).alias("ymax"),
+        F.count("*").alias("n_features"),
+        F.sum(F.expr(
+            f"CAST(size({geom}.coords) / ({w}) AS BIGINT)"))
+        .alias("n_coords"))

@@ -1,0 +1,163 @@
+"""Deduplication operators for training-data pipelines.
+
+All candidate generation is JVM-side (built-in array/hash expressions —
+no Python workers); only the final pair verification math is plain
+column arithmetic. Two hash modes:
+
+- ``fast=True``  : xxhash64 (JVM intrinsic) — the 100 TB path.
+- ``fast=False`` : portable polynomial hash (functions/texthash.py) —
+  bit-identical to the DuckDB oracle, used by the correctness gate.
+
+Scale notes: exact dedup is a single hash-aggregate (map-side partial);
+MinHash-LSH shuffles once on (band, bucket-hash) — bucket skew (boiler-
+plate text) is bounded by ``max_bucket``; n-gram Jaccard blocks on a
+length bucket so the pair join never goes quadratic globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import sqlgen as sg
+from ..functions import texthash as th
+
+_D = sg.SPARK
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                key: str = "doc_id") -> DataFrame:
+    """Keep one row (min key) per exact text value; hash-groupBy with
+    map-side partial aggregation. Returns (key, n_dups)."""
+    return (df.groupBy(text_col)
+            .agg(F.min(key).alias("keep_" + key),
+                 F.count("*").alias("n_dups"))
+            .select("keep_" + key, "n_dups"))
+
+
+def _sig_expr(text_col: str, num_perm: int, shingle_w: int,
+              fast: bool) -> str:
+    toks = th.tokens(text_col, _D)
+    sh = th.word_shingles(toks, shingle_w, _D)
+    if fast:
+        hashes = f"transform({sh}, x -> abs(xxhash64(x)) % {th.P})"
+    else:
+        hashes = th.hash_array(sh, _D)
+    perms = ", ".join(
+        th.minhash_perm(hashes, 2 * j + 3, (j * 2654435761) % th.P, _D)
+        for j in range(num_perm))
+    return f"array({perms})"
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       num_perm: int = 16, shingle_w: int = 3,
+                       fast: bool = False,
+                       out: str = "sig") -> DataFrame:
+    """Attach a MinHash signature array (word-shingle based)."""
+    return df.withColumn(out, F.expr(_sig_expr(text_col, num_perm,
+                                               shingle_w, fast)))
+
+
+def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 16,
+                      bands: int = 4, shingle_w: int = 3,
+                      fast: bool = False,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
+
+    Returns distinct (key_a, key_b) with key_a < key_b. Signature rows
+    are folded per band into one bucket hash; the band join is an
+    equi-join on (band, bucket). ``max_bucket`` drops degenerate buckets
+    (e.g. empty docs all hashing equal) to bound skew.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df.select(key, text_col), text_col,
+                              num_perm, shingle_w, fast)
+    sigs = sigs.where(F.expr(f"{th.tokens(text_col, _D)} != array()"))
+    band_cols = []
+    for b in range(bands):
+        sl = f"slice(sig, {b * rows + 1}, {rows})"
+        band_cols.append(th.fold_hash(sl, _D, seed=b + 11))
+    buckets = (sigs
+               .withColumn("band", F.expr(
+                   f"explode(array({', '.join(repr(b) for b in range(bands))}))"))
+               .withColumn("bucket", F.expr(
+                   "CASE " + " ".join(
+                       f"WHEN band = {b} THEN {bc}"
+                       for b, bc in enumerate(band_cols)) + " END"))
+               .select(key, "band", "bucket"))
+    w = Window.partitionBy("band", "bucket")
+    buckets = (buckets.withColumn("_n", F.count("*").over(w))
+               .where(F.col("_n") <= max_bucket).drop("_n"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (a.join(b, on=["band", "bucket"], how="inner")
+             .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
+             .select(F.col(f"a.{key}").alias(key + "_a"),
+                     F.col(f"b.{key}").alias(key + "_b"))
+             .distinct())
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 48,
+            fast: bool = False, out: str = "simhash") -> DataFrame:
+    """SimHash over word tokens: per-bit weighted majority of token
+    hashes, folded into a ``bits``-wide int64 (bit b set iff the count
+    of tokens with bit b set is >= half). Pure JVM expressions."""
+    toks = th.tokens(text_col, _D)
+    if fast:
+        hashes = f"transform({toks}, x -> abs(xxhash64(x)) % {th.P})"
+    else:
+        hashes = th.hash_array(toks, _D)
+    # ones[b] = number of token hashes with bit b set
+    ones = (f"transform(sequence(0, {bits - 1}), b -> "
+            f"aggregate(_h, 0L, (acc, h) -> acc + "
+            f"(shiftright(h, b) & 1)))")
+    sim = (f"aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> "
+           f"acc + IF(element_at(_ones, b + 1) * 2 >= size(_h), "
+           f"shiftleft(1L, b), 0L))")
+    return (df.withColumn("_h", F.expr(hashes))
+            .withColumn("_ones", F.expr(ones))
+            .withColumn(out, F.expr(sim))
+            .drop("_h", "_ones"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        length_bucket: int = 64) -> DataFrame:
+    """Exact character-n-gram Jaccard over length-blocked pairs.
+
+    Blocking: only pairs whose lengths fall in the same or adjacent
+    ``length_bucket`` can exceed any threshold > bucketing slack; we
+    join same-bucket and adjacent-bucket (b, b+1) pairs. Returns
+    (key_a, key_b, jaccard) for pairs >= threshold.
+    """
+    grams = f"array_distinct({th.char_ngrams(text_col, n, _D)})"
+    base = (df.select(key, text_col)
+            .withColumn("grams", F.expr(grams))
+            .withColumn("glen", F.expr("size(grams)"))
+            .withColumn("bucket", F.expr(
+                f"CAST(floor(length({text_col}) / {length_bucket}) "
+                f"AS BIGINT)"))
+            .drop(text_col))
+    # the smaller-key side probes all 3 adjacent buckets so a cross-
+    # bucket pair is found regardless of which side has the smaller key;
+    # a.jbucket == b.bucket holds for exactly one jbucket per pair
+    probe = base.withColumn(
+        "jbucket",
+        F.explode(F.expr("array(bucket - 1, bucket, bucket + 1)")))
+    a = probe.alias("a")
+    b = base.alias("b")
+    pairs = (a.join(b, on=(F.col("a.jbucket") == F.col("b.bucket"))
+                    & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+             .withColumn("inter", F.expr(
+                 "size(array_intersect(a.grams, b.grams))"))
+             .withColumn("jaccard", F.expr(
+                 "CAST(inter AS DOUBLE) / "
+                 "CAST(a.glen + b.glen - inter AS DOUBLE)"))
+             .where(F.col("jaccard") >= threshold)
+             .select(F.col(f"a.{key}").alias(key + "_a"),
+                     F.col(f"b.{key}").alias(key + "_b"),
+                     "jaccard")
+             .distinct())
+    return pairs

@@ -1,0 +1,104 @@
+"""Point-in-polygon join: cell prefilter -> exact ray-cast refine.
+
+Re-expresses the reference's two index pushdown patterns — FlatGeobuf
+packed-Hilbert-R-tree bbox scan (geozero README.md:88-95) and the GPKG
+R-tree join (geozero-bench/benches/geobench.rs:198-208) — as a Spark
+equi-join on Morton cell ids, then refines exactly with the vectorized
+even-odd ray cast (GEOS prepared-geometry semantics, README.md:77-85).
+
+Scale design (the part that must survive 1000 executors / 100 TB):
+
+- The polygon side explodes into its bbox cell cover ONCE, entirely
+  JVM-side (sequence/explode over grid ranges from the materialized
+  bbox) — no Python, no UDF.
+- When the polygon side is small (countries, admin zones — the common
+  case), the exploded cover is broadcast: the points side is NEVER
+  shuffled, so hot cells cannot skew a shuffle that doesn't exist.
+- When both sides are big, we shuffle on the cell key with AQE skew
+  splitting, plus optional deterministic salting: points get
+  ``pmod(xxhash64(point_key), salt)`` and the polygon cover duplicates
+  each cell row ``salt`` times — consistent on both sides by
+  construction.
+- The refine UDF sees only candidate pairs (cell-equal), decodes each
+  polygon once per (batch, zone) and ray-casts the whole point slice
+  vectorized.
+
+Resolution trade-off: finer res -> more cover rows on the polygon side,
+fewer false candidates on the refine; coarser res -> the opposite. For
+zone-like polygons (degrees across), res 6-8 keeps cover sizes O(100)
+while pruning >95% of candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import sqlgen as sg
+from ..functions import udfs
+
+
+def with_cell(df: DataFrame, lon: str, lat: str, res: int,
+              out: str = "cell") -> DataFrame:
+    """Attach the Morton cell id (JVM-side bit math, sqlgen.cell_id)."""
+    return df.withColumn(out, F.expr(sg.cell_id(lon, lat, res, sg.SPARK)))
+
+
+def explode_bbox_cover(df: DataFrame, res: int, bbox_col: str = "bbox",
+                       out: str = "cell") -> DataFrame:
+    """One row per (row, covering cell) for the row's bbox — JVM-side.
+
+    The columnar analogue of walking the R-tree: a conservative grid
+    cover of the geometry envelope at resolution ``res``.
+    """
+    n = 1 << res
+    d = sg.SPARK
+
+    def gi(expr: str, scale: float, off: float) -> str:
+        return sg.clamp(sg.ibigint(f"(({expr}) + {sg.f64(off)}) / "
+                                   f"{sg.f64(scale)} * {n}"),
+                        "0", str(n - 1))
+
+    ix0 = gi(f"element_at({bbox_col}, 1)", 360.0, 180.0)
+    ix1 = gi(f"element_at({bbox_col}, 3)", 360.0, 180.0)
+    iy0 = gi(f"element_at({bbox_col}, 2)", 180.0, 90.0)
+    iy1 = gi(f"element_at({bbox_col}, 4)", 180.0, 90.0)
+    cell = sg.make_cell("ix", "iy", res, d)
+    return (df
+            .withColumn("ix", F.expr(f"explode(sequence({ix0}, {ix1}))"))
+            .withColumn("iy", F.expr(f"explode(sequence({iy0}, {iy1}))"))
+            .withColumn(out, F.expr(cell))
+            .drop("ix", "iy"))
+
+
+def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
+             lon: str = "lon", lat: str = "lat",
+             poly_geom: str = "poly", poly_key: str = "zone_id",
+             broadcast_polys: bool = True, salt: int = 0) -> DataFrame:
+    """Exact point-in-polygon join.
+
+    points: any columns + lon/lat (degrees). polys: poly_key + a
+    geometry struct column ``poly_geom``. Returns points columns +
+    poly_key for every (point, polygon) containment pair.
+    """
+    pts = with_cell(points, lon, lat, res)
+    cover = explode_bbox_cover(
+        polys.select(poly_key, poly_geom),
+        res, bbox_col=f"{poly_geom}.bbox")
+    if salt > 0:
+        pts = pts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(lon), F.col(lat)),
+                            F.lit(salt)))
+        cover = cover.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        keys = ["cell", "_salt"]
+    else:
+        keys = ["cell"]
+    if broadcast_polys:
+        cover = F.broadcast(cover)
+    cand = pts.join(cover, on=keys, how="inner")
+    refined = cand.withColumn(
+        "_inside",
+        udfs.pip_refine()(F.col(poly_key), F.col(poly_geom),
+                          F.col(lon), F.col(lat)))
+    drop = ["_inside", "cell", poly_geom] + (["_salt"] if salt else [])
+    return refined.where(F.col("_inside")).drop(*drop)

@@ -1,0 +1,129 @@
+"""z/x/y tile assignment + Mapbox Vector Tile materialization.
+
+Tile sink parity target: MvtWriter (geozero/src/mvt/mvt_writer.rs) —
+the affine map->tile transform with Y flip (:157-173), validity rules
+(:254-307), layer assembly (:148-155). The Spark shape is:
+
+    geoms -> explode tiles covering bbox (JVM-side)    # cover
+          -> groupBy(z, x, y)                          # shuffle on tile key
+          -> applyInPandas(encode MVT layer per tile)  # one Arrow batch/tile
+
+The shuffle key is the tile id, so tile hot spots (dense cities at low
+zoom) are the skew surface: AQE skew-join/partition splitting plus an
+optional per-tile feature cap (``max_features``, applied deterministically
+by sort key) bound the worst tile. Feature order inside a tile is sorted
+by the feature key for run-to-run byte-identical tiles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import sqlgen as sg
+from ..kernel import mvt as kmvt
+from ..kernel import structrepr as sr
+from ..kernel import tiles as ktiles
+
+TILE_SCHEMA = ("z int, x bigint, y bigint, n_features int, "
+               "n_skipped int, mvt binary")
+
+
+def with_tile_eq(df: DataFrame, lon: str, lat: str, z: int,
+                 quadkey: bool = False) -> DataFrame:
+    """Equirectangular tile assignment (kernel.tiles.tile_xy_eq)."""
+    x, y = sg.tile_xy_eq(lon, lat, z)
+    out = (df.withColumn("z", F.lit(z))
+             .withColumn("x", F.expr(x)).withColumn("y", F.expr(y)))
+    if quadkey:
+        out = out.withColumn(
+            "quadkey", F.expr(sg.quadkey("x", "y", z, sg.SPARK)))
+    return out
+
+
+def with_tile_wm(df: DataFrame, lon: str, lat: str, z: int,
+                 quadkey: bool = False) -> DataFrame:
+    """WebMercator (OSM slippy) tile assignment."""
+    x, y = sg.tile_xy_wm(lon, lat, z)
+    out = (df.withColumn("z", F.lit(z))
+             .withColumn("x", F.expr(x)).withColumn("y", F.expr(y)))
+    if quadkey:
+        out = out.withColumn(
+            "quadkey", F.expr(sg.quadkey("x", "y", z, sg.SPARK)))
+    return out
+
+
+def explode_tiles_eq(df: DataFrame, z: int, bbox_col: str = "geom.bbox"
+                     ) -> DataFrame:
+    """One row per (row, covering equirect tile) from the bbox — JVM-side."""
+    nx, ny = 2 << z, 1 << z
+
+    def gx(e: str) -> str:
+        return sg.clamp(sg.ibigint(
+            f"(({e}) + {sg.f64(180.0)}) / {sg.f64(360.0)} * {nx}"),
+            "0", str(nx - 1))
+
+    def gy(e: str) -> str:
+        return sg.clamp(sg.ibigint(
+            f"({sg.f64(90.0)} - ({e})) / {sg.f64(180.0)} * {ny}"),
+            "0", str(ny - 1))
+
+    x0 = gx(f"element_at({bbox_col}, 1)")
+    x1 = gx(f"element_at({bbox_col}, 3)")
+    y0 = gy(f"element_at({bbox_col}, 4)")  # top edge -> smaller y
+    y1 = gy(f"element_at({bbox_col}, 2)")
+    return (df
+            .withColumn("z", F.lit(z))
+            .withColumn("x", F.expr(f"explode(sequence({x0}, {x1}))"))
+            .withColumn("y", F.expr(f"explode(sequence({y0}, {y1}))")))
+
+
+def mvt_tiles(df: DataFrame, z: int, key: str = "url",
+              geom: str = "geom", layer: str = "layer",
+              extent: int = 4096,
+              max_features: Optional[int] = None) -> DataFrame:
+    """Materialize one MVT blob per (z, x, y).
+
+    df must carry ``key`` (stable feature id / sort key) and a geometry
+    struct column ``geom`` in lon/lat degrees. Invalid-in-tile features
+    (MVT validity, mvt_writer.rs:254-307) are counted in ``n_skipped``.
+    """
+    cover = explode_tiles_eq(df.select(key, geom), z,
+                             bbox_col=f"{geom}.bbox")
+    if max_features is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("z", "x", "y").orderBy(key)
+        cover = (cover.withColumn("_rn", F.row_number().over(w))
+                 .where(F.col("_rn") <= max_features).drop("_rn"))
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        zz = int(pdf["z"].iloc[0])
+        xx = int(pdf["x"].iloc[0])
+        yy = int(pdf["y"].iloc[0])
+        left, bottom, right, top = ktiles.tile_bounds_eq(zz, xx, yy)
+        pdf = pdf.sort_values(key, kind="mergesort")
+        feats = []
+        skipped = 0
+        geoms = pdf[geom]
+        for i, k in enumerate(pdf[key]):
+            g = sr.from_struct(geoms.iloc[i])
+            if g is None:
+                skipped += 1
+                continue
+            try:
+                tg = ktiles.transform_geom_to_tile(
+                    g, extent, left, bottom, right, top)
+                feats.append(kmvt.feature_from_geom(
+                    tg, properties={"id": str(k)}, fid=i))
+            except (ktiles.MvtValidityError, kmvt.MvtError):
+                skipped += 1
+        blob = kmvt.encode_tile(kmvt.MvtTile(
+            layers=[kmvt.MvtLayer(name=layer, extent=extent,
+                                  features=feats)]))
+        return pd.DataFrame([{"z": zz, "x": xx, "y": yy,
+                              "n_features": len(feats),
+                              "n_skipped": skipped, "mvt": blob}])
+
+    return cover.groupBy("z", "x", "y").applyInPandas(encode, TILE_SCHEMA)
