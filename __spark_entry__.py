@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- entry(spark): flagship query (the PIP join: extraction -> decode ->
+  cell prefilter -> ray-cast refine) on sf0.001.
+- queries(): every implemented operator (SURVEY.md §2) as
+  (spark, sf_dir) -> DataFrame.
+- oracle_sql(): DuckDB-runnable ANSI SQL per query with identical
+  output column names/values (rows-only queries omitted: ann_lsh is
+  probabilistic by design, mvt_tiles is a binary sink whose byte parity
+  is covered by kernel golden tests).
 """
 
 from __future__ import annotations
@@ -15,24 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from geozero_spark.queries import q_pip_join
+    return q_pip_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from geozero_spark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geozero_spark.oracles import ORACLES
+    return dict(ORACLES)

@@ -1,0 +1,380 @@
+"""DuckDB oracle SQL for every entry in queries.QUERIES.
+
+Each oracle reconstructs the expected output from the same deterministic
+arithmetic the pages/zones synthesis uses (sources/pages.py), with
+float operations mirrored operation-for-operation so doubles are
+bit-identical (e.g. the engine scales polygon coords by *0.01 — the
+oracle multiplies too; points divide by 100 — so does the oracle).
+
+Queries with no oracle (probabilistic ANN recall, binary MVT sink) are
+intentionally absent -> the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from .functions import sqlgen as sg
+from .functions import texthash as th
+from .operators import textstats
+from .sources import pages as P
+from . import queries as Q
+
+D = sg.DUCKDB
+
+# shared arithmetic (documents -> point/geom facts)
+_PTS = (f"SELECT doc_id, {P.URL} AS url, lang, "
+        f"{P.LON_C} AS xc, {P.LAT_C} AS yc, doc_id % 4 AS kind "
+        f"FROM documents")
+
+_ZS = (f"SELECT CAST(n_nationkey AS BIGINT) AS zone_id, n_name AS "
+       f"zone_name, {P.CX_C} AS cx, {P.CY_C} AS cy, {P.R_C} AS r "
+       f"FROM nation")
+
+_GEO_BBOX = """
+SELECT url, doc_id,
+  CASE kind WHEN 1 THEN xc WHEN 2 THEN xc - 305 END AS bx0,
+  CASE kind WHEN 1 THEN yc WHEN 2 THEN yc - 305 END AS by0,
+  CASE kind WHEN 1 THEN xc + 200 WHEN 2 THEN xc + 305 END AS bx1,
+  CASE kind WHEN 1 THEN yc + 50 WHEN 2 THEN yc + 305 END AS by1,
+  CASE kind WHEN 1 THEN 3 WHEN 2 THEN 5 END AS ncoords
+FROM pts WHERE kind IN (1, 2)
+"""
+
+
+def _with(*cte_pairs) -> str:
+    body = ", ".join(f"{name} AS ({sql})" for name, sql in cte_pairs)
+    return f"WITH {body} "
+
+
+_W = _with(("pts", _PTS), ("zs", _ZS), ("geo", _GEO_BBOX))
+
+
+def _i(e: str) -> str:
+    return f"CAST({e} AS STRING)"
+
+
+def _geojson_point(x: str, y: str) -> str:
+    return ("'{\"type\": \"Point\", \"coordinates\": ['"
+            f" || {_i(x)} || ',' || {_i(y)} || ']}}'")
+
+
+ORACLES: dict[str, str] = {}
+
+# --- format / codec --------------------------------------------------------
+
+ORACLES["extract_text"] = (
+    f"SELECT {P.URL} AS url, {P.LOC_WKT} AS loc_wkt, "
+    f"{P.GEO_WKT} AS geo_wkt FROM documents")
+
+ORACLES["wkt_roundtrip"] = (
+    f"SELECT {P.URL} AS url, {P.LOC_WKT} AS loc_rt, "
+    f"{P.GEO_WKT} AS geo_rt, "
+    f"CAST(CASE doc_id % 4 WHEN 1 THEN 3 WHEN 2 THEN 5 END AS INTEGER) "
+    f"AS geo_npoints FROM documents")
+
+_LS_JSON = (
+    "'{\"type\": \"LineString\", \"coordinates\": [['"
+    " || CAST(xc AS STRING) || ',' || CAST(yc AS STRING) || '],['"
+    " || CAST(xc + 100 AS STRING) || ',' || CAST(yc + 50 AS STRING) ||"
+    " '],[' || CAST(xc + 200 AS STRING) || ',' || CAST(yc AS STRING) ||"
+    " ']]}'")
+_PG_JSON = (
+    "'{\"type\": \"Polygon\", \"coordinates\": [[['"
+    " || CAST(xc + 305 AS STRING) || ',' || CAST(yc AS STRING) || '],['"
+    " || CAST(xc AS STRING) || ',' || CAST(yc + 305 AS STRING) || '],['"
+    " || CAST(xc - 305 AS STRING) || ',' || CAST(yc AS STRING) || '],['"
+    " || CAST(xc AS STRING) || ',' || CAST(yc - 305 AS STRING) || '],['"
+    " || CAST(xc + 305 AS STRING) || ',' || CAST(yc AS STRING) ||"
+    " ']]]}'")
+
+ORACLES["geojson_encode"] = _W + (
+    f"SELECT url, {_geojson_point('xc', 'yc')} AS loc_json, "
+    f"CASE kind WHEN 1 THEN {_LS_JSON} WHEN 2 THEN {_PG_JSON} END "
+    f"AS geo_json FROM pts")
+
+ORACLES["wkb_roundtrip"] = _W + (
+    "SELECT url, CAST(xc AS BIGINT) AS x_c, CAST(yc AS BIGINT) AS y_c, "
+    "CAST(4326 AS INTEGER) AS srid FROM pts")
+
+_Z_WKT_CR = (
+    "'POLYGON((' || CAST(cx + r AS STRING) || ' ' || CAST(cy AS STRING)"
+    " || ',' || CAST(cx AS STRING) || ' ' || CAST(cy + r AS STRING)"
+    " || ',' || CAST(cx - r AS STRING) || ' ' || CAST(cy AS STRING)"
+    " || ',' || CAST(cx AS STRING) || ' ' || CAST(cy - r AS STRING)"
+    " || ',' || CAST(cx + r AS STRING) || ' ' || CAST(cy AS STRING)"
+    " || '))'")
+_Z_JSON = (
+    "'{\"type\": \"Polygon\", \"coordinates\": [[['"
+    " || CAST(cx + r AS STRING) || ',' || CAST(cy AS STRING) || '],['"
+    " || CAST(cx AS STRING) || ',' || CAST(cy + r AS STRING) || '],['"
+    " || CAST(cx - r AS STRING) || ',' || CAST(cy AS STRING) || '],['"
+    " || CAST(cx AS STRING) || ',' || CAST(cy - r AS STRING) || '],['"
+    " || CAST(cx + r AS STRING) || ',' || CAST(cy AS STRING) ||"
+    " ']]]}'")
+
+ORACLES["zones_encode"] = _with(("zs", _ZS)) + (
+    f"SELECT zone_id, zone_name, {_Z_WKT_CR} AS wkt_rt, "
+    f"'SRID=4326;' || {_Z_WKT_CR} AS ewkt, "
+    f"{_Z_JSON} AS geojson, "
+    f"{_Z_WKT_CR} || ',' || zone_name || "
+    f"',' || CAST(zone_id AS STRING) AS csv_row FROM zs")
+
+ORACLES["html_meta"] = (
+    f"SELECT {P.URL} AS url, "
+    f"CAST(octet_length({P._html(D, P.TEXT)}) AS BIGINT) AS html_bytes, "
+    f"{P.URL} AS title FROM documents")
+
+# --- spatial ---------------------------------------------------------------
+
+_LON = "(xc / 100.0e0)"
+_LAT = "(yc / 100.0e0)"
+
+_CELL8 = sg.cell_id(_LON, _LAT, Q.CELL_RES, D)
+_CELL6 = sg.cell_id(_LON, _LAT, Q.CELL_RES_COARSE, D)
+
+ORACLES["cell_assign"] = _W + (
+    f"SELECT url, {_CELL8} AS cell, "
+    f"{sg.cell_parent(_CELL8, Q.CELL_RES, Q.CELL_RES - Q.CELL_RES_COARSE, D)} "
+    f"AS cell_coarse FROM pts")
+
+ORACLES["cell_counts"] = _W + (
+    f"SELECT {_CELL6} AS cell, CAST(COUNT(*) AS BIGINT) AS n_pages, "
+    f"CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs "
+    f"FROM pts GROUP BY 1")
+
+ORACLES["pip_join"] = _W + (
+    "SELECT url, zone_id FROM pts, zs "
+    "WHERE abs(xc - cx) + abs(yc - cy) <= r")
+
+ORACLES["pip_counts"] = _W + (
+    "SELECT zone_id, zone_name, CAST(COUNT(*) AS BIGINT) AS n_points "
+    "FROM pts, zs WHERE abs(xc - cx) + abs(yc - cy) <= r "
+    "GROUP BY zone_id, zone_name")
+
+ORACLES["knn"] = _W + f"""
+, cand AS (
+  SELECT q.doc_id AS q_id, t.doc_id AS t_id,
+    (CAST(t.xc AS BIGINT) - CAST(q.xc AS BIGINT))
+      * (CAST(t.xc AS BIGINT) - CAST(q.xc AS BIGINT))
+    + (CAST(t.yc AS BIGINT) - CAST(q.yc AS BIGINT))
+      * (CAST(t.yc AS BIGINT) - CAST(q.yc AS BIGINT)) AS dist2
+  FROM pts q, pts t
+  WHERE q.doc_id % {Q.QUERY_MOD} = 0 AND q.doc_id != t.doc_id
+)
+SELECT q_id, t_id, dist2,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist2, t_id)
+    AS INTEGER) AS rank
+FROM cand
+QUALIFY rank <= {Q.KNN_K}
+"""
+
+_EX, _EY = sg.tile_xy_eq(_LON, _LAT, Q.TILE_Z)
+_WX, _WY = sg.tile_xy_wm(_LON, _LAT, Q.TILE_Z)
+
+ORACLES["tile_assign"] = _W + (
+    f"SELECT url, {_EX} AS ex, {_EY} AS ey, "
+    f"{sg.quadkey(_EX, _EY, Q.TILE_Z, D)} AS quadkey, "
+    f"{_WX} AS wx, {_WY} AS wy FROM pts")
+
+
+def _tx_eq(e: str, z: int) -> str:
+    nx = 2 << z
+    return sg.clamp(sg.ibigint(
+        f"(({e}) + {sg.f64(180.0)}) / {sg.f64(360.0)} * {nx}"),
+        "0", str(nx - 1))
+
+
+def _ty_eq(e: str, z: int) -> str:
+    ny = 1 << z
+    return sg.clamp(sg.ibigint(
+        f"({sg.f64(90.0)} - ({e})) / {sg.f64(180.0)} * {ny}"),
+        "0", str(ny - 1))
+
+
+# engine scales geometry coords by *0.01 (scale_flat); mirror exactly
+ORACLES["tile_cover"] = _W + f"""
+SELECT url, x, y FROM (
+  SELECT url,
+    {_tx_eq('bx0 * 0.01e0', Q.COVER_Z)} AS x0,
+    {_tx_eq('bx1 * 0.01e0', Q.COVER_Z)} AS x1,
+    {_ty_eq('by1 * 0.01e0', Q.COVER_Z)} AS y0,
+    {_ty_eq('by0 * 0.01e0', Q.COVER_Z)} AS y1
+  FROM geo
+) g, unnest(range(g.x0, g.x1 + 1)) t(x), unnest(range(g.y0, g.y1 + 1)) s(y)
+"""
+
+ORACLES["bounds_agg"] = _W + """
+SELECT min(bx0 * 0.01e0) AS xmin, min(by0 * 0.01e0) AS ymin,
+       max(bx1 * 0.01e0) AS xmax, max(by1 * 0.01e0) AS ymax,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(ncoords) AS BIGINT) AS n_coords
+FROM geo
+"""
+
+ORACLES["bbox_select"] = _W + (
+    f"SELECT url, {_LON} AS lon, {_LAT} AS lat FROM pts "
+    f"WHERE {_LON} >= {sg.f64(Q.BBOX[0])} AND {_LON} <= {sg.f64(Q.BBOX[2])} "
+    f"AND {_LAT} >= {sg.f64(Q.BBOX[1])} AND {_LAT} <= {sg.f64(Q.BBOX[3])}")
+
+# --- training-data pipeline ------------------------------------------------
+
+ORACLES["exact_dedup"] = (
+    "SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents "
+    "GROUP BY substr(text, 1, 40)")
+
+
+def _sig_sql(text: str, num_perm: int) -> list[str]:
+    toks = th.tokens(text, D)
+    sh = th.word_shingles(toks, 3, D)
+    hashes = th.hash_array(sh, D)
+    return [th.minhash_perm(hashes, 2 * j + 3, (j * 2654435761) % th.P, D)
+            for j in range(num_perm)]
+
+
+_sig8 = _sig_sql("text", Q.SIG_SHOW)
+ORACLES["minhash_sigs"] = (
+    "SELECT doc_id, " + ", ".join(
+        f"{s} AS mh{i}" for i, s in enumerate(_sig8))
+    + " FROM documents")
+
+_rows = Q.NUM_PERM // Q.BANDS
+_band_folds = [
+    th.fold_hash(f"list_slice(sig, {b * _rows + 1}, {(b + 1) * _rows})",
+                 D, seed=b + 11)
+    for b in range(Q.BANDS)]
+_band_case = ("CASE " + " ".join(
+    f"WHEN band = {b} THEN {bf}" for b, bf in enumerate(_band_folds))
+    + " END")
+
+ORACLES["minhash_pairs"] = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, replace(text, 'the ', '') FROM documents
+), sigs AS (
+  SELECT doc_id,
+         [{', '.join(_sig_sql('text', Q.NUM_PERM))}] AS sig
+  FROM docs WHERE length({th.tokens('text', D)}) > 0
+), buckets AS (
+  SELECT doc_id, band, {_band_case} AS bucket
+  FROM sigs, unnest(range(0, {Q.BANDS})) t(band)
+), kept AS (
+  SELECT * FROM buckets
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM kept a JOIN kept b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+"""
+
+_tok_hashes = th.hash_array(th.tokens("text", D), D)
+_ones = (f"list_transform(range(0, 48), b -> "
+         f"CAST(list_sum(list_transform(_h, h -> (h >> b) & 1)) "
+         f"AS BIGINT))")
+_sim = (f"CAST(list_sum(list_transform(range(0, 48), b -> "
+        f"CASE WHEN _ones[b + 1] * 2 >= length(_h) "
+        f"THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) "
+        f"AS BIGINT)")
+
+ORACLES["simhash"] = f"""
+WITH h AS (SELECT doc_id, {_tok_hashes} AS _h FROM documents),
+o AS (SELECT doc_id, _h, {_ones} AS _ones FROM h)
+SELECT doc_id, {_sim} AS simhash FROM o
+"""
+
+_grams = f"list_distinct({th.char_ngrams('text', 3, D)})"
+ORACLES["ngram_pairs"] = f"""
+WITH g AS (
+  SELECT doc_id, {_grams} AS grams,
+         length({_grams}) AS glen,
+         CAST(floor(length(text) / 64) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+  CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+    / CAST(a.glen + b.glen
+           - length(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+FROM g a JOIN g b
+  ON abs(a.bucket - b.bucket) <= 1 AND a.doc_id < b.doc_id
+WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+    / CAST(a.glen + b.glen
+           - length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+    >= {sg.f64(Q.JACCARD_T)}
+"""
+
+_dotq = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+         "list_transform(range(1, length(q.embedding) + 1), i -> "
+         "CAST(q.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)"
+         ")), (acc, v) -> acc + v)")
+
+
+def _norm2(side: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, length({side}.embedding) + 1), "
+            f"i -> CAST({side}.embedding[i] AS DOUBLE) * "
+            f"CAST({side}.embedding[i] AS DOUBLE))), "
+            f"(acc, v) -> acc + v)")
+
+
+ORACLES["ann_cosine"] = f"""
+WITH cand AS (
+  SELECT q.vec_id AS q_id, t.vec_id AS t_id,
+    {_dotq} / (sqrt({_norm2('q')}) * sqrt({_norm2('t')})) AS cosine
+  FROM embeddings q, embeddings t
+  WHERE q.vec_id % {Q.QUERY_MOD} = 0 AND q.vec_id != t.vec_id
+)
+SELECT q_id, t_id, cosine,
+  CAST(row_number() OVER (PARTITION BY q_id
+       ORDER BY cosine DESC, t_id) AS INTEGER) AS rank
+FROM cand
+QUALIFY rank <= {Q.ANN_K}
+"""
+
+_toksd = th.tokens("text", D)
+_sw_cols = []
+for _lang, _words in textstats.STOPWORDS.items():
+    _lit = "[" + ", ".join("'" + w + "'" for w in _words) + "]"
+    _sw_cols.append(
+        f"CAST(length(list_intersect(list_distinct("
+        f"{th.tokens('lower(text)', D)}), {_lit})) AS INTEGER) "
+        f"AS sw_{_lang}")
+_order = list(textstats.STOPWORDS)
+_best = "CASE "
+for _lang in _order:
+    _others = " AND ".join(
+        f"sw_{_lang} >= sw_{o}" for o in _order if o != _lang)
+    _best += f"WHEN {_others} THEN '{_lang}' "
+_best += "END"
+
+ORACLES["lang_stats"] = f"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    CAST(length({_toksd}) AS INTEGER) AS n_tokens,
+    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      / greatest(length({_toksd}), 1) AS avg_token_len,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS digit_ratio,
+    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS punct_ratio,
+    {', '.join(_sw_cols)}
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, avg_token_len, digit_ratio,
+  punct_ratio,
+  least(CAST(n_tokens AS DOUBLE) / 64.0e0, 1.0e0) * 0.5e0
+    + (1.0e0 - least(digit_ratio * 4.0e0, 1.0e0)) * 0.25e0
+    + (CASE WHEN avg_token_len >= 3.0e0 AND avg_token_len <= 9.0e0
+       THEN 0.25e0 ELSE 0.0e0 END) AS quality,
+  {', '.join(f'sw_{lang}' for lang in _order)},
+  {_best} AS lang_guess
+FROM s
+"""
+
+ORACLES["fingerprint"] = (
+    f"SELECT doc_id, {th.text_hash('text', D)} AS fingerprint "
+    f"FROM documents")
+
+ORACLES["streaming_cell_counts"] = _W + (
+    f"SELECT {_CELL6} AS cell, CAST(COUNT(*) AS BIGINT) AS n_pages "
+    f"FROM pts GROUP BY 1")

@@ -1,0 +1,417 @@
+"""The engine's query catalog — one callable per operator (SURVEY.md §2).
+
+Every callable takes (spark, sf_dir) and returns a DataFrame; the
+matching DuckDB oracle lives in geozero_spark/oracles.py with the SAME
+output column names (the driver hash-compares sorted values).
+
+The engine path is deliberately end-to-end: queries go through the
+synthetic pages table -> regexp payload extraction -> pandas-UDF WKT
+decode -> JVM cell/tile math / joins — never shortcutting to the
+generator arithmetic the oracle uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions import cols, sqlgen as sg, udfs
+from .operators import (bbox_select, boundsagg, dedup, knn, pip_join,
+                        similarity, textstats, tiling)
+from .sources import pages as P
+
+LOC_RE = r"loc:(POINT\([0-9 -]+\));"
+GEO_RE = r"geo:([A-Z]+\([0-9 ,()-]+\));"
+DOCID_RE = r"/page/([0-9]+)$"
+
+# fixed parameters shared with oracles.py
+CELL_RES = 8
+CELL_RES_COARSE = 6
+PIP_RES = 6
+KNN_K = 3
+KNN_RES = 4
+TILE_Z = 4
+COVER_Z = 3
+BBOX = (-30.0, -20.0, 40.0, 35.0)  # xmin, ymin, xmax, ymax (degrees)
+ANN_K = 5
+QUERY_MOD = 29  # doc_id % QUERY_MOD == 0 -> kNN/ANN query row
+NUM_PERM = 16
+BANDS = 4
+SIG_SHOW = 8
+JACCARD_T = 0.6
+
+
+def points_df(spark: SparkSession, sf_dir: str,
+              clones: int = 1) -> DataFrame:
+    """pages -> extracted/decoded point location (+ doc_id, lon/lat)."""
+    dec = udfs.st_geomfromwkt()
+    return (P.pages_df(spark, sf_dir, clones=clones)
+            .withColumn("loc_wkt", F.regexp_extract("text", LOC_RE, 1))
+            .withColumn("geom", dec("loc_wkt"))
+            .withColumn("doc_id",
+                        F.regexp_extract("url", DOCID_RE, 1).cast("long"))
+            .withColumn("xc", cols.point_x(F.col("geom")).cast("long"))
+            .withColumn("yc", cols.point_y(F.col("geom")).cast("long"))
+            .withColumn("lon", F.col("xc") / F.lit(100.0))
+            .withColumn("lat", F.col("yc") / F.lit(100.0)))
+
+
+def geos_df(spark: SparkSession, sf_dir: str,
+            clones: int = 1) -> DataFrame:
+    """pages -> extracted/decoded secondary geometry (lines/polygons)."""
+    dec = udfs.st_geomfromwkt()
+    return (P.pages_df(spark, sf_dir, clones=clones)
+            .withColumn("geo_wkt",
+                        F.nullif(F.regexp_extract("text", GEO_RE, 1),
+                                 F.lit("")))
+            .where(F.col("geo_wkt").isNotNull())
+            .withColumn("geom_c", dec("geo_wkt"))
+            .withColumn("geom", cols.scale_flat(F.col("geom_c"), 0.01)))
+
+
+def zones_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = udfs.st_geomfromwkt()
+    return (P.zones_df(spark, sf_dir)
+            .withColumn("poly_c", dec("zone_wkt"))
+            .withColumn("poly", cols.scale_flat(F.col("poly_c"), 0.01)))
+
+
+# --------------------------------------------------------------------------
+# format / codec queries
+# --------------------------------------------------------------------------
+
+def q_extract_text(spark, sf_dir):
+    """Payload extraction — the byte-identical-text-per-url invariant."""
+    return (P.pages_df(spark, sf_dir)
+            .select("url",
+                    F.regexp_extract("text", LOC_RE, 1).alias("loc_wkt"),
+                    F.nullif(F.regexp_extract("text", GEO_RE, 1),
+                             F.lit("")).alias("geo_wkt")))
+
+
+def q_wkt_roundtrip(spark, sf_dir):
+    """WKT decode -> encode identity (wkt_reader/wkt_writer parity)."""
+    dec = udfs.st_geomfromwkt()
+    enc = udfs.st_aswkt()
+    npts = udfs.st_npoints()
+    return (q_extract_text(spark, sf_dir)
+            .withColumn("_l", dec("loc_wkt"))
+            .withColumn("_g", dec("geo_wkt"))
+            .select("url",
+                    enc("_l").alias("loc_rt"),
+                    enc("_g").alias("geo_rt"),
+                    npts("_g").alias("geo_npoints")))
+
+
+def q_geojson_encode(spark, sf_dir):
+    """GeoJSON writer parity (geojson_writer.rs formatting)."""
+    dec = udfs.st_geomfromwkt()
+    enc = udfs.st_asgeojson()
+    return (q_extract_text(spark, sf_dir)
+            .withColumn("_l", dec("loc_wkt"))
+            .withColumn("_g", dec("geo_wkt"))
+            .select("url",
+                    enc("_l").alias("loc_json"),
+                    enc("_g").alias("geo_json")))
+
+
+def q_wkb_roundtrip(spark, sf_dir):
+    """EWKB encode -> decode roundtrip incl. SRID header
+    (wkb_writer.rs:102-253 / wkb_reader.rs:216-241)."""
+    dec = udfs.st_geomfromwkt()
+    enc = udfs.st_aswkb(dialect="ewkb", srid=4326)
+    dec2 = udfs.st_geomfromwkb(dialect="ewkb")
+    return (P.pages_df(spark, sf_dir)
+            .withColumn("_g", dec(F.regexp_extract("text", LOC_RE, 1)))
+            .withColumn("_rt", dec2(enc("_g")))
+            .select("url",
+                    cols.point_x(F.col("_rt")).cast("long").alias("x_c"),
+                    cols.point_y(F.col("_rt")).cast("long").alias("y_c"),
+                    F.col("_rt.srid").alias("srid")))
+
+
+def q_zones_encode(spark, sf_dir):
+    """Polygon sinks: WKT / EWKT / GeoJSON / CSV-row encodes of zones."""
+    z = zones_decoded(spark, sf_dir)
+    enc_wkt = udfs.st_aswkt()
+    enc_ewkt = udfs.st_asewkt()
+    enc_json = udfs.st_asgeojson()
+    srid = udfs.st_aswkb(dialect="ewkb", srid=4326)
+    dec2 = udfs.st_geomfromwkb(dialect="ewkb")
+    with_srid = dec2(srid(F.col("poly_c")))
+    return z.select(
+        "zone_id", "zone_name",
+        enc_wkt("poly_c").alias("wkt_rt"),
+        enc_ewkt(with_srid).alias("ewkt"),
+        enc_json("poly_c").alias("geojson"),
+        F.concat(enc_wkt("poly_c"), F.lit(","), F.col("zone_name"),
+                 F.lit(","), F.col("zone_id").cast("string"))
+        .alias("csv_row"))
+
+
+def q_html_meta(spark, sf_dir):
+    """Opaque-binary payload handling (multimodal pattern): decode the
+    html bytes per Arrow batch, pull typed metadata."""
+    import pandas as pd
+
+    def extract(it):
+        for pdf in it:
+            htmls = pdf["html"]
+            titles = []
+            nbytes = []
+            for b in htmls:
+                raw = bytes(b)
+                nbytes.append(len(raw))
+                s = raw.decode("utf-8", errors="replace")
+                i = s.find("<title>")
+                j = s.find("</title>")
+                titles.append(s[i + 7:j] if 0 <= i < j else None)
+            yield pd.DataFrame({"url": pdf["url"], "html_bytes": nbytes,
+                                "title": titles})
+
+    return (P.pages_df(spark, sf_dir)
+            .mapInPandas(extract,
+                         "url string, html_bytes long, title string"))
+
+
+# --------------------------------------------------------------------------
+# spatial index / join / tiling queries
+# --------------------------------------------------------------------------
+
+def q_cell_assign(spark, sf_dir):
+    pts = points_df(spark, sf_dir)
+    cell = sg.cell_id("lon", "lat", CELL_RES, sg.SPARK)
+    parent = sg.cell_parent(cell, CELL_RES, CELL_RES - CELL_RES_COARSE,
+                            sg.SPARK)
+    return pts.select("url",
+                      F.expr(cell).alias("cell"),
+                      F.expr(parent).alias("cell_coarse"))
+
+
+def q_cell_counts(spark, sf_dir):
+    pts = points_df(spark, sf_dir)
+    cell = sg.cell_id("lon", "lat", CELL_RES_COARSE, sg.SPARK)
+    return (pts.groupBy(F.expr(cell).alias("cell"))
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("lang").alias("n_langs")))
+
+
+def q_pip_join(spark, sf_dir):
+    pts = points_df(spark, sf_dir).select("url", "doc_id", "lon", "lat")
+    polys = zones_decoded(spark, sf_dir).select("zone_id", "poly")
+    out = pip_join.pip_join(pts, polys, res=PIP_RES,
+                            broadcast_polys=True)
+    return out.select("url", "zone_id")
+
+
+def q_pip_counts(spark, sf_dir):
+    pts = points_df(spark, sf_dir).select("url", "lon", "lat")
+    z = zones_decoded(spark, sf_dir)
+    joined = pip_join.pip_join(pts, z.select("zone_id", "poly"),
+                               res=PIP_RES)
+    return (joined.groupBy("zone_id")
+            .agg(F.count("*").alias("n_points"))
+            .join(z.select("zone_id", "zone_name"), "zone_id")
+            .select("zone_id", "zone_name", "n_points"))
+
+
+def q_knn(spark, sf_dir):
+    pts = points_df(spark, sf_dir)
+    queries = (pts.where(F.col("doc_id") % QUERY_MOD == 0)
+               .select(F.col("doc_id").alias("q_id"),
+                       F.col("xc").alias("qx"), F.col("yc").alias("qy")))
+    targets = pts.select(F.col("doc_id").alias("t_id"),
+                         F.col("xc").alias("tx"), F.col("yc").alias("ty"))
+    return knn.knn_join(queries, targets, k=KNN_K, res=KNN_RES,
+                        query_key="q_id", target_key="t_id")
+
+
+def q_tile_assign(spark, sf_dir):
+    pts = points_df(spark, sf_dir)
+    out = tiling.with_tile_eq(pts, "lon", "lat", TILE_Z, quadkey=True)
+    out = (out.withColumnRenamed("x", "ex").withColumnRenamed("y", "ey")
+           .drop("z"))
+    out = tiling.with_tile_wm(out, "lon", "lat", TILE_Z)
+    return out.select("url", "ex", "ey", "quadkey",
+                      F.col("x").alias("wx"), F.col("y").alias("wy"))
+
+
+def q_tile_cover(spark, sf_dir):
+    g = geos_df(spark, sf_dir).select("url", "geom")
+    return (tiling.explode_tiles_eq(g, COVER_Z)
+            .select("url", "x", "y"))
+
+
+def q_mvt_tiles(spark, sf_dir):
+    """Non-SQL-expressible sink: MVT binary per tile (rows-only check;
+    byte-level parity is covered by kernel golden tests vs tile.mvt)."""
+    g = geos_df(spark, sf_dir).select("url", "geom")
+    t = tiling.mvt_tiles(g, COVER_Z, key="url")
+    return t.select("z", "x", "y", "n_features", "n_skipped",
+                    F.length("mvt").alias("mvt_bytes"), "mvt")
+
+
+def q_bounds_agg(spark, sf_dir):
+    g = geos_df(spark, sf_dir)
+    return boundsagg.dataset_bounds(g, geom="geom")
+
+
+def q_bbox_select(spark, sf_dir):
+    pts = bbox_select.with_cell(points_df(spark, sf_dir), "lon", "lat",
+                                CELL_RES)
+    out = bbox_select.bbox_filter(pts, *BBOX, res=CELL_RES)
+    return out.select("url", "lon", "lat")
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables)
+# --------------------------------------------------------------------------
+
+def _documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_with_mutants(spark, sf_dir):
+    """documents plus near-duplicate mutants (id + 10000, 'the ' removed)
+    so near-dup detection has planted ground truth."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    m = d.select((F.col("doc_id") + 10000).alias("doc_id"),
+                 F.expr("replace(text, 'the ', '')").alias("text"))
+    return d.unionByName(m)
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = _documents(spark, sf_dir).withColumn(
+        "prefix", F.expr("substring(text, 1, 40)"))
+    return dedup.exact_dedup(d, text_col="prefix", key="doc_id")
+
+
+def q_minhash_sigs(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    s = dedup.minhash_signatures(d.select("doc_id", "text"),
+                                 num_perm=SIG_SHOW, fast=False)
+    return s.select("doc_id", *[
+        F.col("sig")[i].alias(f"mh{i}") for i in range(SIG_SHOW)])
+
+
+def q_minhash_pairs(spark, sf_dir):
+    d = _docs_with_mutants(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(d, num_perm=NUM_PERM, bands=BANDS,
+                                   fast=False)
+
+
+def q_simhash(spark, sf_dir):
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    return dedup.simhash(d, fast=False).select("doc_id", "simhash")
+
+
+def q_ngram_pairs(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(d, threshold=JACCARD_T)
+
+
+def q_ann_cosine(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (e.where(F.col("vec_id") % QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qvec")))
+    t = e.select(F.col("vec_id").alias("t_id"),
+                 F.col("embedding").alias("tvec"))
+    return similarity.cosine_topk(q, t, k=ANN_K)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate variant (rows-only oracle: recall is probabilistic by
+    design; exactness is covered by q_ann_cosine)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    q = (e.where(F.col("vec_id") % QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qvec")))
+    t = e.select(F.col("vec_id").alias("t_id"),
+                 F.col("embedding").alias("tvec"))
+    return similarity.ann_topk(q, t, k=ANN_K, dim=dim)
+
+
+def q_lang_stats(spark, sf_dir):
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    out = textstats.quality_score(d)
+    out = textstats.stopword_scores(out)
+    return out.select("doc_id", "n_chars", "n_tokens", "avg_token_len",
+                      "digit_ratio", "punct_ratio", "quality",
+                      *[f"sw_{lang}" for lang in textstats.STOPWORDS],
+                      "lang_guess")
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    return textstats.fingerprint(d).select("doc_id", "fingerprint")
+
+
+# --------------------------------------------------------------------------
+# streaming
+# --------------------------------------------------------------------------
+
+def q_streaming_cell_counts(spark, sf_dir):
+    """Structured Streaming ingest of the documents feed -> pages
+    synthesis -> decode -> cell aggregation, run to completion with an
+    availableNow trigger into a memory sink. Deterministic, so it shares
+    the batch oracle."""
+    import hashlib
+    import os
+    import uuid
+    src = f"{sf_dir}/documents.parquet"
+    # file-stream sources need a directory; expose the parquet via a
+    # stable symlink dir (read-only testdata stays untouched)
+    tag = hashlib.sha1(src.encode()).hexdigest()[:12]
+    sdir = f"/tmp/gz_stream_{tag}"
+    os.makedirs(sdir, exist_ok=True)
+    link = f"{sdir}/documents.parquet"
+    if not os.path.exists(link):
+        os.symlink(os.path.realpath(src), link)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(sdir)
+    dec = udfs.st_geomfromwkt()
+    cell = sg.cell_id("lon", "lat", CELL_RES_COARSE, sg.SPARK)
+    pts = (stream
+           .selectExpr(f"{P.URL} AS url", f"{P.TEXT} AS text")
+           .withColumn("geom",
+                       dec(F.regexp_extract("text", LOC_RE, 1)))
+           .withColumn("lon", cols.point_x(F.col("geom")) / F.lit(100.0))
+           .withColumn("lat", cols.point_y(F.col("geom")) / F.lit(100.0))
+           .withColumn("cell", F.expr(cell)))
+    agg = pts.groupBy("cell").agg(F.count("*").alias("n_pages"))
+    name = "cells_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+QUERIES = {
+    "extract_text": q_extract_text,
+    "wkt_roundtrip": q_wkt_roundtrip,
+    "geojson_encode": q_geojson_encode,
+    "wkb_roundtrip": q_wkb_roundtrip,
+    "zones_encode": q_zones_encode,
+    "html_meta": q_html_meta,
+    "cell_assign": q_cell_assign,
+    "cell_counts": q_cell_counts,
+    "pip_join": q_pip_join,
+    "pip_counts": q_pip_counts,
+    "knn": q_knn,
+    "tile_assign": q_tile_assign,
+    "tile_cover": q_tile_cover,
+    "mvt_tiles": q_mvt_tiles,
+    "bounds_agg": q_bounds_agg,
+    "bbox_select": q_bbox_select,
+    "exact_dedup": q_exact_dedup,
+    "minhash_sigs": q_minhash_sigs,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "ngram_pairs": q_ngram_pairs,
+    "ann_cosine": q_ann_cosine,
+    "ann_lsh": q_ann_lsh,
+    "lang_stats": q_lang_stats,
+    "fingerprint": q_fingerprint,
+    "streaming_cell_counts": q_streaming_cell_counts,
+}
