@@ -89,6 +89,66 @@ def st_geomfromwkt(strict: bool = False):
     return _decode_udf(kwkt.decode, strict=strict)
 
 
+def st_pointfromtext():
+    """Vectorized 2D ``POINT(x y)`` decode — the hot scan path.
+
+    Batches parse via pandas C-level str extraction (no per-row Python);
+    anything that is not a plain 2D point falls back to the generic
+    kernel decoder, so semantics match st_geomfromwkt exactly.
+    """
+    _PT = r"^POINT\((-?[0-9.]+) (-?[0-9.]+)\)$"
+
+    @pandas_udf(GEOMETRY_TYPE)
+    def f(s: pd.Series) -> pd.DataFrame:
+        ext = s.str.extract(_PT, expand=True)
+        x = pd.to_numeric(ext[0], errors="coerce")
+        y = pd.to_numeric(ext[1], errors="coerce")
+        ok = x.notna() & y.notna()
+        n = len(s)
+        out = {
+            "kind": np.where(ok, 1, 0).astype("int8"),
+            "srid": [None] * n,
+            "has_z": [False] * n,
+            "has_m": [False] * n,
+            "bbox": [None] * n,
+            "coords": [None] * n,
+            "offs1": [None] * n,
+            "offs2": [None] * n,
+            "wkb": [None] * n,
+        }
+        pdf = pd.DataFrame(out)
+        xv = x.to_numpy(dtype=np.float64)
+        yv = y.to_numpy(dtype=np.float64)
+        okv = ok.to_numpy()
+        bboxes = pdf["bbox"].to_numpy(dtype=object)
+        coords = pdf["coords"].to_numpy(dtype=object)
+        kinds = pdf["kind"].to_numpy(dtype=object).copy()
+        for i in np.nonzero(okv)[0]:
+            coords[i] = [xv[i], yv[i]]
+            bboxes[i] = [xv[i], yv[i], xv[i], yv[i]]
+        # fallback rows: generic kernel decode (keeps full semantics)
+        for i in np.nonzero(~okv)[0]:
+            v = s.iloc[i]
+            if v is None or (isinstance(v, float) and np.isnan(v)) \
+                    or v == "":
+                kinds[i] = None
+                continue
+            try:
+                st = sr.to_struct(kwkt.decode(v))
+            except Exception:
+                kinds[i] = None
+                continue
+            for fld in _FIELDS:
+                pdf.at[i, fld] = st[fld]
+            kinds[i] = st["kind"]
+        pdf["kind"] = kinds
+        pdf["bbox"] = bboxes
+        pdf["coords"] = coords
+        return pdf
+
+    return f
+
+
 def st_geomfromgeojson(strict: bool = False):
     """GeoJSON geometry string -> struct (geojson_reader.rs:73-81)."""
     return _decode_udf(kgeojson.decode, strict=strict)

@@ -34,8 +34,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             .select("keep_" + key, "n_dups"))
 
 
-def _sig_expr(text_col: str, num_perm: int, shingle_w: int,
-              fast: bool) -> str:
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       num_perm: int = 16, shingle_w: int = 3,
+                       fast: bool = False,
+                       out: str = "sig") -> DataFrame:
+    """Attach a MinHash signature array (word-shingle based).
+
+    The shingle+hash pipeline is materialized ONCE in a helper column;
+    the per-permutation mins are cheap maps over it (without this,
+    Catalyst re-evaluates the whole tokenize/shingle/hash expression
+    once per permutation — 16x the work).
+    """
     toks = th.tokens(text_col, _D)
     sh = th.word_shingles(toks, shingle_w, _D)
     if fast:
@@ -43,18 +52,12 @@ def _sig_expr(text_col: str, num_perm: int, shingle_w: int,
     else:
         hashes = th.hash_array(sh, _D)
     perms = ", ".join(
-        th.minhash_perm(hashes, 2 * j + 3, (j * 2654435761) % th.P, _D)
+        th.minhash_perm("_mh_hashes", 2 * j + 3,
+                        (j * 2654435761) % th.P, _D)
         for j in range(num_perm))
-    return f"array({perms})"
-
-
-def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       num_perm: int = 16, shingle_w: int = 3,
-                       fast: bool = False,
-                       out: str = "sig") -> DataFrame:
-    """Attach a MinHash signature array (word-shingle based)."""
-    return df.withColumn(out, F.expr(_sig_expr(text_col, num_perm,
-                                               shingle_w, fast)))
+    return (df.withColumn("_mh_hashes", F.expr(hashes))
+            .withColumn(out, F.expr(f"array({perms})"))
+            .drop("_mh_hashes"))
 
 
 def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",

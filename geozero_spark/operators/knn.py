@@ -50,9 +50,18 @@ def _disk_cells(df: DataFrame, xc: str, yc: str, res: int, radius: int,
             .drop("ix", "iy", "dx", "dy"))
 
 
+def auto_res(n_targets: int, per_cell: int = 50) -> int:
+    """Resolution giving ~per_cell targets per occupied cell under a
+    uniform assumption — keeps ring-1 candidate sets O(100)."""
+    import math
+    if n_targets <= per_cell:
+        return 2
+    return max(2, min(12, round(math.log2(n_targets / per_cell) / 2)))
+
+
 def knn_join(queries: DataFrame, targets: DataFrame, k: int,
-             res: int = 4, query_key: str = "q_url",
-             target_key: str = "t_url",
+             res: int | None = 4, query_key: str = "q_id",
+             target_key: str = "t_id",
              qx: str = "qx", qy: str = "qy",
              tx: str = "tx", ty: str = "ty",
              exclude_self: bool = True,
@@ -66,6 +75,8 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     NOTE: the planar metric does not wrap the dateline; candidate
     generation wraps cells, the final metric is planar centi-degrees.
     """
+    if res is None:
+        res = auto_res(targets.count())
     n = 1 << res
     cell_h = 18000.0 / n  # centi-degrees per cell (latitude pitch)
     if max_radius is None:
@@ -74,9 +85,13 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
         "cell", F.expr(sg.cell_id(f"(({tx}) / 100.0e0)",
                                   f"(({ty}) / 100.0e0)", res, sg.SPARK)))
     tgt = tgt.persist()
-    remaining = queries
+    # materialize the query side once: upstream pipelines (pandas-UDF
+    # decode etc.) must not re-run every expansion round
+    remaining = queries.persist()
+    n_remaining = remaining.count()
     settled_parts = []
     radius = 1
+    to_unpersist = [remaining, tgt]
     while True:
         cand = _disk_cells(remaining, qx, qy, res, radius).join(
             tgt, on="cell", how="inner")
@@ -88,27 +103,39 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
         w = Window.partitionBy(query_key).orderBy("dist2", target_key)
         topk = (cand
                 .withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k))
+                .where(F.col("rank") <= k)).persist()
+        to_unpersist.append(topk)
         guarantee = (radius * cell_h) ** 2
         agg = (topk.groupBy(query_key)
                .agg(F.count("*").alias("_n"), F.max("dist2").alias("_kth")))
-        # strict <: a point just outside the disk can sit at exactly the
-        # guarantee distance and would deserve a tie-break comparison
-        settled_keys = agg.where(
-            (F.col("_n") >= k) & (F.col("_kth") < F.lit(guarantee))
-        ).select(query_key)
         if radius >= max_radius:
             settled_keys = agg.select(query_key)  # final sweep: take all
+        else:
+            # strict <: a point just outside the disk can sit at exactly
+            # the guarantee distance and deserves a tie-break comparison
+            settled_keys = agg.where(
+                (F.col("_n") >= k) & (F.col("_kth") < F.lit(guarantee))
+            ).select(query_key)
+        settled_keys = settled_keys.persist()
+        to_unpersist.append(settled_keys)
+        n_settled = settled_keys.count()
         part = topk.join(F.broadcast(settled_keys), on=query_key,
                          how="leftsemi")
         settled_parts.append(
             part.select(query_key, target_key, "dist2", "rank"))
-        remaining = remaining.join(F.broadcast(settled_keys), on=query_key,
-                                   how="left_anti")
-        if radius >= max_radius or remaining.isEmpty():
+        n_remaining -= n_settled
+        if radius >= max_radius or n_remaining <= 0:
             break
+        remaining = remaining.join(F.broadcast(settled_keys),
+                                   on=query_key, how="left_anti").persist()
+        to_unpersist.append(remaining)
         radius *= 2
     out = settled_parts[0]
     for p in settled_parts[1:]:
         out = out.unionByName(p)
+    # materialize the result before releasing intermediate caches
+    out = out.persist()
+    out.count()
+    for df in to_unpersist:
+        df.unpersist()
     return out

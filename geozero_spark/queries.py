@@ -43,7 +43,7 @@ JACCARD_T = 0.6
 def points_df(spark: SparkSession, sf_dir: str,
               clones: int = 1) -> DataFrame:
     """pages -> extracted/decoded point location (+ doc_id, lon/lat)."""
-    dec = udfs.st_geomfromwkt()
+    dec = udfs.st_pointfromtext()
     return (P.pages_df(spark, sf_dir, clones=clones)
             .withColumn("loc_wkt", F.regexp_extract("text", LOC_RE, 1))
             .withColumn("geom", dec("loc_wkt"))
@@ -370,7 +370,7 @@ def q_streaming_cell_counts(spark, sf_dir):
         os.symlink(os.path.realpath(src), link)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(sdir)
-    dec = udfs.st_geomfromwkt()
+    dec = udfs.st_pointfromtext()
     cell = sg.cell_id("lon", "lat", CELL_RES_COARSE, sg.SPARK)
     pts = (stream
            .selectExpr(f"{P.URL} AS url", f"{P.TEXT} AS text")

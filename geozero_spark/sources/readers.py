@@ -1,0 +1,126 @@
+"""Format scans mirroring the reference's readers (SURVEY.md §2.1).
+
+- read_csv_wkt: CSV with a WKT geometry column; all other columns kept
+  as strings (csv_reader.rs:14-19, 149-180 semantics — geometry column
+  selected by name, ColumnNotFound -> error).
+- read_geojson_lines: one Feature/Geometry per line
+  (geojson_line_reader.rs:12-32) — the natural Spark scan
+  (1 line = 1 row) via spark.read.text.
+- read_geojson_fc: a whole-file FeatureCollection
+  (geojson_reader.rs:57-70) — whole-file read, explode features.
+
+All return a DataFrame with a decoded ``geom`` struct column plus a
+``props`` map<string,string> for the schema-less property bags
+(property_processor.rs:53-60: names/types may vary per row).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import udfs
+from ..kernel import geojson as kgeojson
+from ..kernel import structrepr as sr
+
+
+def read_csv_wkt(spark: SparkSession, path: str, geom_col: str,
+                 **csv_opts) -> DataFrame:
+    """CSV scan + WKT decode of ``geom_col`` (errors if missing,
+    matching csv_reader.rs:110-113 ColumnNotFound)."""
+    df = spark.read.csv(path, header=True, **csv_opts)
+    if geom_col not in df.columns:
+        raise ValueError(f"geometry column {geom_col!r} not found "
+                         f"(csv_reader.rs ColumnNotFound)")
+    dec = udfs.st_geomfromwkt()
+    others = [c for c in df.columns if c != geom_col]
+    props = F.create_map(*[x for c in others
+                           for x in (F.lit(c), F.col(c))])
+    return df.select(dec(F.col(geom_col)).alias("geom"),
+                     props.alias("props"), *others)
+
+
+_GJ_SCHEMA = (f"geom struct<{sr.GEOMETRY_DDL}>, "
+              f"props map<string,string>, feature_idx long")
+
+
+def _feature_to_row(obj: dict, idx: int):
+    t = obj.get("type")
+    if t == "Feature":
+        geom_obj = obj.get("geometry")
+        props = obj.get("properties") or {}
+    else:
+        geom_obj = obj
+        props = {}
+    g = kgeojson.from_obj(geom_obj) if geom_obj else None
+    pm = {}
+    for k, v in props.items():
+        if v is None:
+            continue  # nulls omitted, geojson_reader.rs:251
+        # nested arrays/objects -> Json string (geojson_reader.rs:240-249)
+        pm[k] = (json.dumps(v, separators=(",", ":"))
+                 if isinstance(v, (dict, list)) else
+                 (str(v).lower() if isinstance(v, bool) else str(v)))
+    return sr.to_struct(g), pm, idx
+
+
+def read_geojson_lines(spark: SparkSession, path: str) -> DataFrame:
+    """GeoJSON-Lines scan: one Feature/Geometry per text line."""
+    txt = spark.read.text(path)
+
+    def parse(it: Iterator[pd.DataFrame]):
+        for pdf in it:
+            rows = []
+            for i, line in enumerate(pdf["value"]):
+                line = (line or "").strip().rstrip(",")
+                if not line or line in ("[", "]"):
+                    continue
+                g, pm, _ = _feature_to_row(json.loads(line), i)
+                rows.append({"geom": g, "props": pm, "feature_idx": i})
+            yield pd.DataFrame(
+                rows, columns=["geom", "props", "feature_idx"])
+
+    return txt.mapInPandas(parse, _GJ_SCHEMA)
+
+
+def read_geojson_fc(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file FeatureCollection scan (small/medium files; for huge
+    collections convert to GeoJSON-Lines first)."""
+    raw = spark.read.text(path, wholetext=True)
+
+    def parse(it: Iterator[pd.DataFrame]):
+        for pdf in it:
+            rows = []
+            for doc in pdf["value"]:
+                obj = json.loads(doc)
+                feats = (obj.get("features", [])
+                         if obj.get("type") == "FeatureCollection"
+                         else [obj])
+                for i, f in enumerate(feats):
+                    g, pm, _ = _feature_to_row(f, i)
+                    rows.append(
+                        {"geom": g, "props": pm, "feature_idx": i})
+            yield pd.DataFrame(
+                rows, columns=["geom", "props", "feature_idx"])
+
+    return raw.mapInPandas(parse, _GJ_SCHEMA)
+
+
+def write_geojson_lines(df: DataFrame, path: str,
+                        geom: str = "geom",
+                        props: Optional[str] = "props") -> None:
+    """GeoJSON-Lines sink (geojson_line_writer.rs:10-30): one feature
+    per line via df.write.text of the encoded column."""
+    enc = udfs.st_asgeojson()
+    line = F.concat(
+        F.lit('{"type": "Feature", "properties": '),
+        F.when(F.col(props).isNotNull(),
+               F.to_json(F.col(props))).otherwise(F.lit("{}"))
+        if props else F.lit("{}"),
+        F.lit(', "geometry": '),
+        F.coalesce(enc(F.col(geom)), F.lit("null")),
+        F.lit("}"))
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
