@@ -88,15 +88,21 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
                        f"WHEN band = {b} THEN {bc}"
                        for b, bc in enumerate(band_cols)) + " END"))
                .select(key, "band", "bucket"))
-    w = Window.partitionBy("band", "bucket")
-    buckets = (buckets.withColumn("_n", F.count("*").over(w))
-               .where(F.col("_n") <= max_bucket).drop("_n"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (a.join(b, on=["band", "bucket"], how="inner")
-             .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
-             .select(F.col(f"a.{key}").alias(key + "_a"),
-                     F.col(f"b.{key}").alias(key + "_b"))
+    # ONE shuffle: group each (band, bucket), emit ordered pairs bucket-
+    # locally (signatures are evaluated once; no self-join, no window).
+    # Oversized buckets (degenerate boilerplate) are dropped to bound
+    # the quadratic blow-up — same semantics as the max_bucket filter.
+    grouped = (buckets.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list(key)).alias("ks"))
+               .where((F.size("ks") >= 2) &
+                      (F.size("ks") <= max_bucket)))
+    pairs = (grouped
+             .select(F.explode(F.expr(
+                 "flatten(transform(ks, (x, i) -> "
+                 "transform(slice(ks, i + 2, size(ks) - i - 1), "
+                 "y -> struct(x AS a, y AS b))))")).alias("p"))
+             .select(F.col("p.a").alias(key + "_a"),
+                     F.col("p.b").alias(key + "_b"))
              .distinct())
     return pairs
 

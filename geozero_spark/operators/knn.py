@@ -107,7 +107,8 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
         to_unpersist.append(topk)
         guarantee = (radius * cell_h) ** 2
         agg = (topk.groupBy(query_key)
-               .agg(F.count("*").alias("_n"), F.max("dist2").alias("_kth")))
+               .agg(F.count("*").alias("_n"),
+                    F.max("dist2").alias("_kth")))
         if radius >= max_radius:
             settled_keys = agg.select(query_key)  # final sweep: take all
         else:
