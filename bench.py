@@ -49,7 +49,7 @@ def _session(cpus: int):
     return s
 
 
-def core_workload(spark, clones: int):
+def core_workload(spark, clones: int, core_only: bool = False):
     """North-rule workload; returns (timings dict, counts dict)."""
     from pyspark.sql import functions as F
 
@@ -87,6 +87,11 @@ def core_workload(spark, clones: int):
     timed("mvt_tiles", lambda: tiling.mvt_tiles(
         geos, 5, key="url").count())
 
+    if core_only:
+        n_pts = c["decode_points"]
+        pts.unpersist()
+        return t, c, n_pts
+
     queries = (pts.where(F.col("doc_id") % 101 == 0)
                .select(F.col("doc_id").alias("q_id"),
                        F.col("xc").alias("qx"), F.col("yc").alias("qy")))
@@ -113,21 +118,45 @@ def core_workload(spark, clones: int):
 
 
 def main():
+    if "--scaling-level" in sys.argv:
+        # one parallelism level, isolated in this process (a reused JVM
+        # degrades the second level and corrupts the comparison)
+        cpus = int(sys.argv[sys.argv.index("--scaling-level") + 1])
+        clones = int(os.environ.get("SPARK_GRAFT_SCALING_CLONES", "200"))
+        s = _session(cpus)
+        t0 = time.perf_counter()
+        t, c, n = core_workload(s, clones, core_only=True)
+        wall = time.perf_counter() - t0
+        core = t["decode_points"] + t["pip_join"] + t["tile_counts"] \
+            + t["mvt_tiles"]
+        print(json.dumps({
+            "cpus": cpus, "wall_s": round(wall, 2),
+            "core_s": round(core, 2), "rows": n,
+            "rows_per_s": round(n / core, 1), "timings": t}))
+        s.stop()
+        return
+
     if "--scaling" in sys.argv:
+        import subprocess
         lo = max(CPUS // 4, 1)
-        report = {"sf": _sf(), "clones": CLONES, "levels": {}}
+        clones = int(os.environ.get("SPARK_GRAFT_SCALING_CLONES", "200"))
+        report = {"sf": _sf(), "clones": clones, "levels": {}}
+        import shutil
         for cpus in (lo, CPUS):
-            s = _session(cpus)
-            t0 = time.perf_counter()
-            t, c, n = core_workload(s, CLONES)
-            wall = time.perf_counter() - t0
-            core = t["decode_points"] + t["pip_join"] + t["tile_counts"] \
-                + t["mvt_tiles"]
-            report["levels"][str(cpus)] = {
-                "wall_s": round(wall, 2), "core_s": round(core, 2),
-                "rows": n, "rows_per_s": round(n / core, 1),
-                "timings": t}
-            s.stop()
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--scaling-level", str(cpus)]
+            if shutil.which("taskset"):
+                # pin the WHOLE process tree (JVM GC/shuffle threads,
+                # Python workers) to the level's core budget — local[N]
+                # alone still burns all machine cores in helper threads
+                # and overstates the small level's throughput
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, check=True,
+                cwd=REPO).stdout
+            line = [ln for ln in out.splitlines()
+                    if ln.startswith("{")][-1]
+            report["levels"][str(cpus)] = json.loads(line)
         a = report["levels"][str(lo)]["rows_per_s"]
         b = report["levels"][str(CPUS)]["rows_per_s"]
         report["scaling_efficiency"] = round(b / (a * (CPUS / lo)), 3)

@@ -138,9 +138,17 @@ def pages_df(spark, sf_dir: str, clones: int = 1):
     from pyspark.sql import functions as F
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
-    docs = (docs
-            .withColumn("clone", F.explode(F.sequence(F.lit(0),
-                                                      F.lit(clones - 1))))
+    # clone via range x broadcast-docs: spark.range is evenly pre-
+    # partitioned, so every task GENERATES its own slice of clones in
+    # parallel. (An explode over the 1-2 source parquet tasks serializes
+    # the whole blow-up through those tasks and nothing downstream of
+    # the no-shuffle pipelines — decode, broadcast PIP join, tile
+    # assign — can run wider than that. Measured: 32 cores ran no
+    # faster than 8 until this was fixed.)
+    par = spark.sparkContext.defaultParallelism * 2
+    clone_ids = spark.range(0, clones, 1, min(clones, par)) \
+        .withColumnRenamed("id", "clone")
+    docs = (clone_ids.join(F.broadcast(docs))
             .withColumn("doc_id",
                         F.col("doc_id") + F.col("clone") * F.lit(n_docs))
             .drop("clone"))
