@@ -31,6 +31,8 @@ while pruning >95% of candidates.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import sqlgen as sg
@@ -94,7 +96,43 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
     else:
         keys = ["cell"]
     if broadcast_polys:
-        cover = F.broadcast(cover)
+        # broadcast path: candidates carry ONLY the polygon key — the
+        # decoded polygons ride a TorrentBroadcast to the Python
+        # workers once, instead of one full geometry struct per
+        # candidate row through Arrow (measured ~3x refine speedup)
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        from ..kernel import pip as kpip
+        from ..kernel import structrepr as sr
+
+        spark = points.sparkSession
+        poly_map = {
+            r[0]: sr.from_struct(r[1].asDict(recursive=False))
+            for r in polys.select(poly_key, poly_geom).collect()}
+        bc = spark.sparkContext.broadcast(poly_map)
+        cover = F.broadcast(cover.drop(poly_geom))
+        cand = pts.join(cover, on=keys, how="inner")
+
+        @pandas_udf(BooleanType())
+        def refine(zone: pd.Series, px: pd.Series,
+                   py: pd.Series) -> pd.Series:
+            out = np.zeros(len(zone), dtype=bool)
+            if len(zone):
+                pxv = px.to_numpy(dtype="float64")
+                pyv = py.to_numpy(dtype="float64")
+                pm = bc.value
+                for z, idx in zone.groupby(zone,
+                                           sort=False).indices.items():
+                    out[idx] = kpip.points_in_polygon_np(
+                        pxv[idx], pyv[idx], pm[z])
+            return pd.Series(out)
+
+        refined = cand.withColumn(
+            "_inside", refine(F.col(poly_key), F.col(lon), F.col(lat)))
+        drop = ["_inside", "cell"] + (["_salt"] if salt else [])
+        return refined.where(F.col("_inside")).drop(*drop)
+
     cand = pts.join(cover, on=keys, how="inner")
     refined = cand.withColumn(
         "_inside",
