@@ -40,11 +40,10 @@ SIG_SHOW = 8
 JACCARD_T = 0.6
 
 
-def points_df(spark: SparkSession, sf_dir: str,
-              clones: int = 1) -> DataFrame:
+def points_from_pages(pages: DataFrame) -> DataFrame:
     """pages -> extracted/decoded point location (+ doc_id, lon/lat)."""
     dec = udfs.st_pointfromtext()
-    return (P.pages_df(spark, sf_dir, clones=clones)
+    return (pages
             .withColumn("loc_wkt", F.regexp_extract("text", LOC_RE, 1))
             .withColumn("geom", dec("loc_wkt"))
             .withColumn("doc_id",
@@ -53,6 +52,23 @@ def points_df(spark: SparkSession, sf_dir: str,
             .withColumn("yc", cols.point_y(F.col("geom")).cast("long"))
             .withColumn("lon", F.col("xc") / F.lit(100.0))
             .withColumn("lat", F.col("yc") / F.lit(100.0)))
+
+
+def points_df(spark: SparkSession, sf_dir: str,
+              clones: int = 1) -> DataFrame:
+    return points_from_pages(P.pages_df(spark, sf_dir, clones=clones))
+
+
+def geos_from_pages(pages: DataFrame) -> DataFrame:
+    """pages -> extracted/decoded secondary geometry (lines/polygons)."""
+    dec = udfs.st_geomfromwkt()
+    return (pages
+            .withColumn("geo_wkt",
+                        F.nullif(F.regexp_extract("text", GEO_RE, 1),
+                                 F.lit("")))
+            .where(F.col("geo_wkt").isNotNull())
+            .withColumn("geom_c", dec("geo_wkt"))
+            .withColumn("geom", cols.scale_flat(F.col("geom_c"), 0.01)))
 
 
 def geos_df(spark: SparkSession, sf_dir: str,
