@@ -378,3 +378,70 @@ ORACLES["fingerprint"] = (
 ORACLES["streaming_cell_counts"] = _W + (
     f"SELECT {_CELL6} AS cell, CAST(COUNT(*) AS BIGINT) AS n_pages "
     f"FROM pts GROUP BY 1")
+
+
+# --- svg / raster<->vector --------------------------------------------------
+
+def _neg(e: str) -> str:
+    return f"CAST(-({e}) AS STRING)"
+
+
+_SVG_PATH = (
+    "'<path d=\"M ' || CAST(cx + r AS STRING) || ' ' || " + _neg("cy")
+    + " || ' ' || CAST(cx AS STRING) || ' ' || " + _neg("cy + r")
+    + " || ' ' || CAST(cx - r AS STRING) || ' ' || " + _neg("cy")
+    + " || ' ' || CAST(cx AS STRING) || ' ' || " + _neg("cy - r")
+    + " || ' ' || CAST(cx + r AS STRING) || ' ' || " + _neg("cy")
+    + " || ' Z \"/>'")
+
+ORACLES["svg_encode"] = _with(("zs", _ZS)) + (
+    f"SELECT zone_id, {_SVG_PATH} AS svg FROM zs")
+
+
+def _pixel_exprs(z: int, grid: int):
+    import math
+    dz = int(math.log2(grid))
+    x, y = sg.tile_xy_eq(_LON, _LAT, z)
+    fx, fy = sg.tile_xy_eq(_LON, _LAT, z + dz)
+    return x, y, f"(({fx}) % {grid})", f"(({fy}) % {grid})"
+
+
+_RX, _RY, _RPX, _RPY = _pixel_exprs(Q.RASTER_Z, Q.RASTER_GRID)
+
+ORACLES["rasterize"] = _W + (
+    f"SELECT {Q.RASTER_Z} AS z, {_RX} AS x, {_RY} AS y, "
+    f"{_RPX} AS px, {_RPY} AS py, CAST(COUNT(*) AS BIGINT) AS n "
+    f"FROM pts GROUP BY 2, 3, 4, 5")
+
+
+def _vectorize_sql() -> str:
+    import math
+    z, grid, scale = Q.RASTER_Z, Q.RASTER_GRID, Q.RASTER_SCALE
+    dz = int(math.log2(grid))
+    nx, ny = 2 << (z + dz), 1 << (z + dz)
+    w = 360 * scale // nx
+    h = 180 * scale // ny
+    fx = f"(x * {grid} + px)"
+    fy = f"(y * {grid} + py)"
+    x0 = f"({fx} * {w} - {180 * scale})"
+    x1 = f"(({fx} + 1) * {w} - {180 * scale})"
+    y1 = f"({90 * scale} - {fy} * {h})"
+    y0 = f"({90 * scale} - ({fy} + 1) * {h})"
+
+    def s(e):
+        return f"CAST({e} AS STRING)"
+
+    wkt = (f"'POLYGON((' || {s(x0)} || ' ' || {s(y0)} || ',' || "
+           f"{s(x1)} || ' ' || {s(y0)} || ',' || "
+           f"{s(x1)} || ' ' || {s(y1)} || ',' || "
+           f"{s(x0)} || ' ' || {s(y1)} || ',' || "
+           f"{s(x0)} || ' ' || {s(y0)} || '))'")
+    return _W + (
+        f", px_counts AS (SELECT {z} AS z, {_RX} AS x, {_RY} AS y, "
+        f"{_RPX} AS px, {_RPY} AS py, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM pts GROUP BY 2, 3, 4, 5) "
+        f"SELECT z, x, y, px, py, n, {wkt} AS pixel_wkt "
+        f"FROM px_counts WHERE n >= 1")
+
+
+ORACLES["vectorize"] = _vectorize_sql()

@@ -12,11 +12,12 @@ generator arithmetic the oracle uses.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions import cols, sqlgen as sg, udfs
 from .operators import (bbox_select, boundsagg, dedup, knn, pip_join,
-                        similarity, textstats, tiling)
+                        raster, similarity, textstats, tiling)
 from .sources import pages as P
 
 LOC_RE = r"loc:(POINT\([0-9 -]+\));"
@@ -38,6 +39,9 @@ NUM_PERM = 16
 BANDS = 4
 SIG_SHOW = 8
 JACCARD_T = 0.6
+RASTER_Z = 3
+RASTER_GRID = 16
+RASTER_SCALE = 32
 
 
 def points_from_pages(pages: DataFrame) -> DataFrame:
@@ -187,6 +191,50 @@ def q_html_meta(spark, sf_dir):
     return (P.pages_df(spark, sf_dir)
             .mapInPandas(extract,
                          "url string, html_bytes long, title string"))
+
+
+def q_svg_encode(spark, sf_dir):
+    """SVG writer parity (svg/writer.rs): one path element per zone."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from .kernel import structrepr as sr
+    from .kernel import svg as ksvg
+
+    @pandas_udf(StringType())
+    def enc(g: pd.DataFrame) -> pd.Series:
+        out = []
+        for rec in g.to_dict("records"):
+            gm = sr.from_struct(rec)
+            out.append(None if gm is None else ksvg.encode(
+                gm, invert_y=True))
+        return pd.Series(out, dtype=object)
+
+    z = zones_decoded(spark, sf_dir)
+    return z.select("zone_id", enc("poly_c").alias("svg"))
+
+
+def q_rasterize(spark, sf_dir):
+    """vector -> raster: per-tile pixel-grid counts (Tessellator-class
+    op from SURVEY §2.6 raster<->vector)."""
+    pts = points_df(spark, sf_dir)
+    return raster.rasterize_counts(pts, z=RASTER_Z, grid=RASTER_GRID)
+
+
+def q_vectorize(spark, sf_dir):
+    """raster -> vector: occupied pixels back to boundary polygons."""
+    pts = points_df(spark, sf_dir)
+    counts = raster.rasterize_counts(pts, z=RASTER_Z, grid=RASTER_GRID)
+    return raster.vectorize_pixels(counts, threshold=1, z=RASTER_Z,
+                                   grid=RASTER_GRID, scale=RASTER_SCALE)
+
+
+def q_raster_tiles(spark, sf_dir):
+    """Binary raster blobs per tile (rows-only: binary sink)."""
+    pts = points_df(spark, sf_dir)
+    t = raster.rasterize_tiles(pts, z=RASTER_Z, grid=RASTER_GRID)
+    return t.select("z", "x", "y", "grid",
+                    F.length("raster").alias("raster_bytes"), "raster")
 
 
 # --------------------------------------------------------------------------
@@ -430,4 +478,8 @@ QUERIES = {
     "lang_stats": q_lang_stats,
     "fingerprint": q_fingerprint,
     "streaming_cell_counts": q_streaming_cell_counts,
+    "svg_encode": q_svg_encode,
+    "rasterize": q_rasterize,
+    "vectorize": q_vectorize,
+    "raster_tiles": q_raster_tiles,
 }
