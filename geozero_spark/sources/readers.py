@@ -47,15 +47,9 @@ _GJ_SCHEMA = (f"geom struct<{sr.GEOMETRY_DDL}>, "
               f"props map<string,string>, feature_idx long")
 
 
-def _feature_to_row(obj: dict, idx: int):
-    t = obj.get("type")
-    if t == "Feature":
-        geom_obj = obj.get("geometry")
-        props = obj.get("properties") or {}
-    else:
-        geom_obj = obj
-        props = {}
-    g = kgeojson.from_obj(geom_obj) if geom_obj else None
+def _props_of(obj: dict) -> dict:
+    props = obj.get("properties") or {} if obj.get("type") == "Feature" \
+        else {}
     pm = {}
     for k, v in props.items():
         if v is None:
@@ -64,49 +58,87 @@ def _feature_to_row(obj: dict, idx: int):
         pm[k] = (json.dumps(v, separators=(",", ":"))
                  if isinstance(v, (dict, list)) else
                  (str(v).lower() if isinstance(v, bool) else str(v)))
-    return sr.to_struct(g), pm, idx
+    return pm
+
+
+def _geom_of(obj: dict):
+    geom_obj = obj.get("geometry") if obj.get("type") == "Feature" \
+        else obj
+    return sr.to_struct(kgeojson.from_obj(geom_obj)) if geom_obj else None
+
+
+def _feature_udfs():
+    """pandas UDFs parsing one GeoJSON Feature/Geometry text per row.
+
+    (mapInPandas is avoided: pyspark's pandas/types.py probes Arrow
+    field metadata with ``b"geometry" in field.metadata`` and crashes on
+    None metadata for struct outputs; the pandas_udf serializer path
+    does not.)
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import MapType, StringType
+
+    from ..functions.udfs import GEOMETRY_TYPE, _structs_to_pdf
+
+    @pandas_udf(GEOMETRY_TYPE)
+    def geom_udf(s: pd.Series) -> pd.DataFrame:
+        out = []
+        for line in s:
+            line = (line or "").strip().rstrip(",")
+            if not line or line in ("[", "]"):
+                out.append(None)
+                continue
+            try:
+                out.append(_geom_of(json.loads(line)))
+            except Exception:
+                out.append(None)
+        return _structs_to_pdf(out)
+
+    @pandas_udf(MapType(StringType(), StringType()))
+    def props_udf(s: pd.Series) -> pd.Series:
+        out = []
+        for line in s:
+            line = (line or "").strip().rstrip(",")
+            if not line or line in ("[", "]"):
+                out.append(None)
+                continue
+            try:
+                out.append(_props_of(json.loads(line)))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return geom_udf, props_udf
 
 
 def read_geojson_lines(spark: SparkSession, path: str) -> DataFrame:
-    """GeoJSON-Lines scan: one Feature/Geometry per text line."""
+    """GeoJSON-Lines scan: one Feature/Geometry per text line
+    (geojson_line_reader.rs:12-32 — the natural Spark scan)."""
+    geom_udf, props_udf = _feature_udfs()
     txt = spark.read.text(path)
-
-    def parse(it: Iterator[pd.DataFrame]):
-        for pdf in it:
-            rows = []
-            for i, line in enumerate(pdf["value"]):
-                line = (line or "").strip().rstrip(",")
-                if not line or line in ("[", "]"):
-                    continue
-                g, pm, _ = _feature_to_row(json.loads(line), i)
-                rows.append({"geom": g, "props": pm, "feature_idx": i})
-            yield pd.DataFrame(
-                rows, columns=["geom", "props", "feature_idx"])
-
-    return txt.mapInPandas(parse, _GJ_SCHEMA)
+    return (txt
+            .withColumn("feature_idx", F.monotonically_increasing_id())
+            .select(geom_udf("value").alias("geom"),
+                    props_udf("value").alias("props"), "feature_idx")
+            .where(F.col("geom").isNotNull()))
 
 
 def read_geojson_fc(spark: SparkSession, path: str) -> DataFrame:
-    """Whole-file FeatureCollection scan (small/medium files; for huge
-    collections convert to GeoJSON-Lines first)."""
+    """Whole-file FeatureCollection scan: explode features to lines,
+    reuse the per-feature parse (small/medium files; convert huge
+    collections to GeoJSON-Lines)."""
+    geom_udf, props_udf = _feature_udfs()
     raw = spark.read.text(path, wholetext=True)
-
-    def parse(it: Iterator[pd.DataFrame]):
-        for pdf in it:
-            rows = []
-            for doc in pdf["value"]:
-                obj = json.loads(doc)
-                feats = (obj.get("features", [])
-                         if obj.get("type") == "FeatureCollection"
-                         else [obj])
-                for i, f in enumerate(feats):
-                    g, pm, _ = _feature_to_row(f, i)
-                    rows.append(
-                        {"geom": g, "props": pm, "feature_idx": i})
-            yield pd.DataFrame(
-                rows, columns=["geom", "props", "feature_idx"])
-
-    return raw.mapInPandas(parse, _GJ_SCHEMA)
+    line = F.explode(F.expr(
+        "CASE WHEN get_json_object(value, '$.type') = 'FeatureCollection'"
+        " THEN from_json(get_json_object(value, '$.features'),"
+        " 'array<string>') ELSE array(value) END")).alias("value")
+    feats = raw.select(line).withColumn(
+        "feature_idx", F.monotonically_increasing_id())
+    return feats.select(geom_udf("value").alias("geom"),
+                        props_udf("value").alias("props"),
+                        "feature_idx").where(F.col("geom").isNotNull())
 
 
 def write_geojson_lines(df: DataFrame, path: str,

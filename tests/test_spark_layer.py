@@ -1,0 +1,117 @@
+"""Spark-layer integration: format scans/sinks, skew salting, resumable
+stages (uses the shared session fixture)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geozero_spark.operators import dedup
+from geozero_spark.plans import meta, skew
+from geozero_spark.sources import readers
+
+
+@pytest.fixture()
+def tmpdir_path(tmp_path):
+    return str(tmp_path)
+
+
+def test_read_csv_wkt(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "pts.csv")
+    with open(p, "w") as f:
+        f.write("name,geom,score\n")
+        f.write('a,"POINT(1 2)",10\n')
+        f.write('b,"LINESTRING(0 0,1 1)",20\n')
+    df = readers.read_csv_wkt(spark, p, geom_col="geom")
+    rows = {r.props["name"]: r for r in df.collect()}
+    assert rows["a"].geom.kind == 1 and rows["b"].geom.kind == 2
+    assert rows["a"].props["score"] == "10"
+    with pytest.raises(ValueError):
+        readers.read_csv_wkt(spark, p, geom_col="nope")
+
+
+def test_geojson_lines_roundtrip(spark, tmpdir_path):
+    src = os.path.join(tmpdir_path, "f.geojsonl")
+    feats = [
+        {"type": "Feature", "properties": {"id": "x", "n": 1},
+         "geometry": {"type": "Point", "coordinates": [3, 4]}},
+        {"type": "Feature", "properties": {"tags": ["a", "b"]},
+         "geometry": {"type": "LineString",
+                      "coordinates": [[0, 0], [2, 2]]}},
+    ]
+    with open(src, "w") as f:
+        for ft in feats:
+            f.write(json.dumps(ft) + "\n")
+    df = readers.read_geojson_lines(spark, src)
+    rows = df.orderBy("feature_idx").collect()
+    assert rows[0].geom.kind == 1 and rows[0].props["id"] == "x"
+    # nested array property -> Json string (geojson_reader.rs:240-249)
+    assert rows[1].props["tags"] == '["a","b"]'
+    out = os.path.join(tmpdir_path, "out")
+    readers.write_geojson_lines(df, out)
+    lines = []
+    for fn in sorted(os.listdir(out)):
+        if fn.startswith("part-"):
+            lines += [ln for ln in open(os.path.join(out, fn))
+                      if ln.strip()]
+    assert len(lines) == 2
+    parsed = [json.loads(ln) for ln in lines]
+    assert {p["geometry"]["type"] for p in parsed} == \
+        {"Point", "LineString"}
+
+
+def test_geojson_fc(spark, tmpdir_path):
+    src = os.path.join(tmpdir_path, "fc.json")
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"id": "NZL"},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [1, 0], [0, 1], [0, 0]]]}},
+    ]}
+    with open(src, "w") as f:
+        json.dump(fc, f)
+    df = readers.read_geojson_fc(spark, src)
+    r = df.first()
+    assert r.geom.kind == 3 and r.props["id"] == "NZL"
+
+
+def test_salted_count_matches_plain(spark):
+    df = (spark.range(10000)
+          .withColumn("cell", F.when(F.col("id") % 10 < 8, F.lit(1))
+                      .otherwise(F.col("id") % 7))
+          .withColumn("url", F.col("id").cast("string")))
+    plain = {r.cell: r["count"] for r in
+             df.groupBy("cell").count().collect()}
+    salted = {r.cell: r.n_rows for r in
+              skew.salted_count(df, "cell", threshold_rows=100,
+                                n_salt=8).collect()}
+    assert salted == plain
+
+
+def test_run_stage_resume(spark, tmpdir_path):
+    base = os.path.join(tmpdir_path, "stages")
+    df = spark.range(1000).withColumn("k", F.col("id").cast("string"))
+    m1 = meta.run_stage(spark, df, base, "s1", bucket_col="k",
+                        n_buckets=4, fingerprint="v1")
+    assert len(m1) == 4 and sum(r for _, r, _ in m1) == 1000
+    # second run with same fingerprint: all buckets skipped
+    m2 = meta.run_stage(spark, df, base, "s1", bucket_col="k",
+                        n_buckets=4, fingerprint="v1")
+    assert m2 == []
+    # new fingerprint: recomputed
+    m3 = meta.run_stage(spark, df, base, "s1", bucket_col="k",
+                        n_buckets=4, fingerprint="v2")
+    assert len(m3) == 4
+    metrics = meta.stage_metrics(spark, base, "s1")
+    assert metrics.where("fingerprint = 'v1'").count() == 4
+
+
+def test_minhash_fast_mode_runs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different text with other words entirely")],
+        "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, num_perm=16, bands=8, fast=True)
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
