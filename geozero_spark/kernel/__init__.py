@@ -10,7 +10,12 @@ Modules:
 - cells    Morton z-order cell index (S2/H3-style)
 - tiles    z/x/y tile math + MVT map->tile transform
 - pip      even-odd ray-cast point-in-polygon
+- svg      SVG path writer (writer.rs parity)
+- gpx      GPX reader (tracks/routes/waypoints -> GeometryCollection)
+- tessellate  ear-clipping polygon fill triangulation
+- structrepr  GeoArrow-style geometry struct column
 - mvt      Mapbox Vector Tile protobuf encode/decode
 """
 
-from . import bounds, cells, fmt, geojson, model, mvt, pip, tiles, wkb, wkt  # noqa: F401
+from . import (bounds, cells, fmt, geojson, gpx, model, mvt, pip,  # noqa: F401
+               structrepr, svg, tessellate, tiles, wkb, wkt)
