@@ -98,12 +98,7 @@ def mvt_tiles(df: DataFrame, z: int, key: str = "url",
         cover = (cover.withColumn("_rn", F.row_number().over(w))
                  .where(F.col("_rn") <= max_features).drop("_rn"))
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        zz = int(pdf["z"].iloc[0])
-        xx = int(pdf["x"].iloc[0])
-        yy = int(pdf["y"].iloc[0])
-        left, bottom, right, top = ktiles.tile_bounds_eq(zz, xx, yy)
-        pdf = pdf.sort_values(key, kind="mergesort")
+    def _encode_kernel(pdf, zz, xx, yy, left, bottom, right, top):
         feats = []
         skipped = 0
         geoms = pdf[geom]
@@ -122,8 +117,48 @@ def mvt_tiles(df: DataFrame, z: int, key: str = "url",
         blob = kmvt.encode_tile(kmvt.MvtTile(
             layers=[kmvt.MvtLayer(name=layer, extent=extent,
                                   features=feats)]))
+        return blob, len(feats), skipped
+
+    def _encode_fast(pdf, zz, xx, yy, left, bottom, right, top):
+        """Vectorized path (operators/mvt_fast): returns None if any
+        feature is not fast-eligible -> whole tile via kernel path."""
+        from . import mvt_fast
+        feats = []
+        skipped = 0
+        geoms = pdf[geom]
+        for i, k in enumerate(pdf[key]):
+            rec = geoms.iloc[i]
+            if rec is None:
+                skipped += 1
+                continue
+            try:
+                r = mvt_fast.struct_to_tile_seqs(
+                    rec, extent, left, bottom, right, top)
+            except kmvt.MvtError:
+                skipped += 1
+                continue
+            if r is None:
+                return None
+            kind, seqs = r
+            feats.append((i, {"id": str(k)}, kind, seqs))
+        layer_bytes = mvt_fast.encode_layer_fast(layer, extent, feats)
+        out = bytearray()
+        kmvt._write_bytes(out, 3, layer_bytes)
+        return bytes(out), len(feats), skipped
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        zz = int(pdf["z"].iloc[0])
+        xx = int(pdf["x"].iloc[0])
+        yy = int(pdf["y"].iloc[0])
+        left, bottom, right, top = ktiles.tile_bounds_eq(zz, xx, yy)
+        pdf = pdf.sort_values(key, kind="mergesort")
+        res = _encode_fast(pdf, zz, xx, yy, left, bottom, right, top)
+        if res is None:
+            res = _encode_kernel(pdf, zz, xx, yy, left, bottom, right,
+                                 top)
+        blob, n_feats, skipped = res
         return pd.DataFrame([{"z": zz, "x": xx, "y": yy,
-                              "n_features": len(feats),
+                              "n_features": n_feats,
                               "n_skipped": skipped, "mvt": blob}])
 
     return cover.groupBy("z", "x", "y").applyInPandas(encode, TILE_SCHEMA)

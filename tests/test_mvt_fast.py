@@ -1,0 +1,95 @@
+"""mvt_fast must produce BYTE-IDENTICAL layers to the kernel encoder."""
+
+import numpy as np
+import pytest
+
+from geozero_spark.kernel import mvt as kmvt
+from geozero_spark.kernel import structrepr as sr
+from geozero_spark.kernel import tiles as ktiles
+from geozero_spark.kernel import wkt
+from geozero_spark.operators import mvt_fast
+
+BOUNDS = (-10.0, -5.0, 10.0, 5.0)  # left, bottom, right, top
+EXTENT = 4096
+
+GEOMS = [
+    "POINT(0 0)",
+    "POINT(-9.5 4.9)",
+    "MULTIPOINT(1 1,2 2,-3 -3)",
+    "LINESTRING(-8 -4,0 0,8 4)",
+    "MULTILINESTRING((0 0,1 1),(2 2,3 3,4 4))",
+    "POLYGON((-5 -2,5 -2,5 2,-5 2,-5 -2))",                     # CCW
+    "POLYGON((-5 -2,-5 2,5 2,5 -2,-5 -2))",                     # CW input
+    "POLYGON((-5 -2,5 -2,5 2,-5 2,-5 -2),(-1 -1,1 -1,1 1,-1 1,-1 -1))",
+    "MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((4 4,6 4,6 6,4 6,4 4),"
+    "(4.5 4.5,5 4.5,5 5,4.5 5,4.5 4.5)))",
+]
+
+
+def _kernel_layer(geoms_wkt):
+    feats = []
+    for i, w in enumerate(geoms_wkt):
+        g = wkt.decode(w)
+        tg = ktiles.transform_geom_to_tile(g, EXTENT, *BOUNDS)
+        feats.append(kmvt.feature_from_geom(
+            tg, properties={"id": str(i)}, fid=i))
+    return kmvt._encode_layer(
+        kmvt.MvtLayer(name="layer", extent=EXTENT, features=feats))
+
+
+def _fast_layer(geoms_wkt):
+    feats = []
+    for i, w in enumerate(geoms_wkt):
+        rec = sr.to_struct(wkt.decode(w))
+        r = mvt_fast.struct_to_tile_seqs(rec, EXTENT, *BOUNDS)
+        assert r is not None, w
+        kind, seqs = r
+        feats.append((i, {"id": str(i)}, kind, seqs))
+    return mvt_fast.encode_layer_fast("layer", EXTENT, feats)
+
+
+def test_layer_bytes_identical():
+    assert _fast_layer(GEOMS) == _kernel_layer(GEOMS)
+
+
+def test_each_geom_individually():
+    for w in GEOMS:
+        assert _fast_layer([w]) == _kernel_layer([w]), w
+
+
+def test_varints_np_matches_kernel():
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        rng.integers(0, 128, 50), rng.integers(128, 1 << 14, 50),
+        rng.integers(1 << 14, 1 << 35, 50),
+        np.array([0, 1, 127, 128, 16383, 16384, 2 ** 63 - 1])])
+    blob, lens = mvt_fast.varints_np(vals)
+    ref = bytearray()
+    for v in vals:
+        kmvt._write_varint(ref, int(v))
+    assert blob == bytes(ref)
+    assert int(lens.sum()) == len(blob)
+
+
+def test_validity_skips_match():
+    # degenerate ring collapses identically on both paths
+    w = "POLYGON((0 0,0.0001 0,0 0.0001,0 0))"
+    g = wkt.decode(w)
+    rec = sr.to_struct(g)
+    kerr = ferr = False
+    try:
+        ktiles.transform_geom_to_tile(g, EXTENT, *BOUNDS)
+    except ktiles.MvtValidityError:
+        kerr = True
+    try:
+        mvt_fast.struct_to_tile_seqs(rec, EXTENT, *BOUNDS)
+    except kmvt.MvtError:
+        ferr = True
+    assert kerr == ferr
+
+
+def test_fallback_for_exotic():
+    rec = sr.to_struct(wkt.decode("CIRCULARSTRING(0 0,1 1,2 0)"))
+    assert mvt_fast.struct_to_tile_seqs(rec, EXTENT, *BOUNDS) is None
+    rec = sr.to_struct(wkt.decode("POINT(1 2 3)"))
+    assert mvt_fast.struct_to_tile_seqs(rec, EXTENT, *BOUNDS) is None
