@@ -59,6 +59,59 @@ def auto_res(n_targets: int, per_cell: int = 50) -> int:
     return max(2, min(12, round(math.log2(n_targets / per_cell) / 2)))
 
 
+def _cell_local_topk(disks: DataFrame, tgt: DataFrame, k: int,
+                     query_key: str, target_key: str,
+                     qx: str, qy: str, tx: str, ty: str,
+                     exclude_self: bool) -> DataFrame:
+    """Per-cell numpy top-k via cogroup; emits <= k candidates per
+    (query, cell) with exact integer dist2 and (dist2, key) ordering."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (f"{query_key} long, {target_key} long, dist2 long")
+
+    def local(qpdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(tpdf):
+            return pd.DataFrame(
+                {query_key: [], target_key: [], "dist2": []})
+        qid = qpdf[query_key].to_numpy(dtype=np.int64)
+        qxv = qpdf[qx].to_numpy(dtype=np.int64)
+        qyv = qpdf[qy].to_numpy(dtype=np.int64)
+        tid = tpdf[target_key].to_numpy(dtype=np.int64)
+        txv = tpdf[tx].to_numpy(dtype=np.int64)
+        tyv = tpdf[ty].to_numpy(dtype=np.int64)
+        rows_q, rows_t, rows_d = [], [], []
+        # chunk queries so the distance matrix stays ~64MB
+        chunk = max(1, (8 << 20) // max(len(tid), 1))
+        for s in range(0, len(qid), chunk):
+            e = min(s + chunk, len(qid))
+            dx = txv[None, :] - qxv[s:e, None]
+            dy = tyv[None, :] - qyv[s:e, None]
+            d2 = dx * dx + dy * dy
+            if exclude_self:
+                same = qid[s:e, None] == tid[None, :]
+                d2 = np.where(same, np.iinfo(np.int64).max, d2)
+            kk = min(k, d2.shape[1])
+            # exact (dist2, target_key) order via lexsort on the
+            # k-smallest partition
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            for r in range(e - s):
+                cols = part[r]
+                order = np.lexsort((tid[cols], d2[r, cols]))
+                sel = cols[order]
+                keep = d2[r, sel] != np.iinfo(np.int64).max
+                sel = sel[keep]
+                rows_q.extend([qid[s + r]] * len(sel))
+                rows_t.extend(tid[sel].tolist())
+                rows_d.extend(d2[r, sel].tolist())
+        return pd.DataFrame({query_key: rows_q, target_key: rows_t,
+                             "dist2": rows_d})
+
+    return (disks.groupBy("cell")
+            .cogroup(tgt.groupBy("cell"))
+            .applyInPandas(local, out_schema))
+
+
 def knn_join(queries: DataFrame, targets: DataFrame, k: int,
              res: int | None = 4, query_key: str = "q_id",
              target_key: str = "t_id",
@@ -93,13 +146,15 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     radius = 1
     to_unpersist = [remaining, tgt]
     while True:
-        cand = _disk_cells(remaining, qx, qy, res, radius).join(
-            tgt, on="cell", how="inner")
-        if exclude_self:
-            cand = cand.where(F.col(query_key) != F.col(target_key))
-        dxe = F.col(tx).cast("long") - F.col(qx).cast("long")
-        dye = F.col(ty).cast("long") - F.col(qy).cast("long")
-        cand = cand.withColumn("dist2", dxe * dxe + dye * dye)
+        # cell-cogrouped local top-k: instead of materializing the full
+        # (query x cell-targets) pair set through a shuffle+sort (hot
+        # cells make that millions of rows), cogroup the exploded query
+        # disks with the targets BY CELL and compute each cell's
+        # per-query top-k in numpy. Shuffle volume = |queries|*disk +
+        # |targets|, never the pair count.
+        disks = _disk_cells(remaining, qx, qy, res, radius)
+        cand = _cell_local_topk(disks, tgt, k, query_key, target_key,
+                                qx, qy, tx, ty, exclude_self)
         w = Window.partitionBy(query_key).orderBy("dist2", target_key)
         topk = (cand
                 .withColumn("rank", F.row_number().over(w))
