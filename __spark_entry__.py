@@ -12,19 +12,54 @@
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_shipped = False
+
+
+def _ship(spark: SparkSession) -> None:
+    """Make geozero_spark importable on executors regardless of the
+    launcher's cwd (the spark-submit --py-files pattern, self-serve)."""
+    global _shipped
+    if _shipped:
+        return
+    z = os.path.join("/tmp", "geozero_spark_pkg.zip")
+    pkg = os.path.join(_REPO, "geozero_spark")
+    with zipfile.ZipFile(z, "w") as zf:
+        for root, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    p = os.path.join(root, fn)
+                    zf.write(p, os.path.relpath(p, _REPO))
+    spark.sparkContext.addPyFile(z)
+    _shipped = True
+
 
 def entry(spark: SparkSession) -> DataFrame:
+    _ship(spark)
     from geozero_spark.queries import q_pip_join
     return q_pip_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from geozero_spark.queries import QUERIES
-    return dict(QUERIES)
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
