@@ -75,3 +75,39 @@ def read_bbox(spark: SparkSession, path: str, xmin: float, ymin: float,
     the parquet reader (check .explain() for PushedFilters on cell)."""
     return bbox_filter(spark.read.parquet(path), xmin, ymin, xmax, ymax,
                        res, lon, lat)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-style partitioned layout (directory partition pruning)
+# ---------------------------------------------------------------------------
+
+def write_cell_partitioned(df: DataFrame, path: str, res: int,
+                           prefix_res: int, lon: str = "lon",
+                           lat: str = "lat") -> None:
+    """Hive/Iceberg-style layout: directory-partition by the COARSE cell
+    (`cell_prefix=<id>/`), sort by the fine cell inside each partition.
+    A bbox query then prunes whole directories via PartitionFilters and
+    row groups via the sorted fine-cell min/max stats — two pruning
+    levels, the same shape an Iceberg partition spec + sort order gives
+    at 10^12 rows."""
+    out = with_cell(df, lon, lat, res)
+    out = out.withColumn(
+        "cell_prefix",
+        F.expr(sg.cell_parent("cell", res, res - prefix_res, sg.SPARK)))
+    (out.repartition("cell_prefix")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell_prefix").parquet(path))
+
+
+def read_bbox_partitioned(spark: SparkSession, path: str, xmin: float,
+                          ymin: float, xmax: float, ymax: float,
+                          res: int, prefix_res: int,
+                          lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Scan with BOTH pruning levels: partition-directory pruning on the
+    coarse-cell IN-list + row-group pruning on the fine-cell intervals +
+    exact refine."""
+    prefixes = kcells.cover_bbox(xmin, ymin, xmax, ymax, prefix_res)
+    df = spark.read.parquet(path).where(
+        F.col("cell_prefix").isin(prefixes))
+    return bbox_filter(df, xmin, ymin, xmax, ymax, res, lon, lat)

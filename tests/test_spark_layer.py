@@ -115,3 +115,25 @@ def test_minhash_fast_mode_runs(spark):
     pairs = dedup.minhash_lsh_pairs(df, num_perm=16, bands=8, fast=True)
     got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
     assert (1, 2) in got and (1, 3) not in got
+
+
+def test_partitioned_bbox_pruning(spark, tmpdir_path):
+    import re
+
+    from geozero_spark import queries as Q
+    from geozero_spark.operators import bbox_select as B
+
+    pts = Q.points_df(spark, "/root/testdata/sf0.001").select(
+        "url", "lon", "lat")
+    path = os.path.join(tmpdir_path, "part")
+    B.write_cell_partitioned(pts, path, res=8, prefix_res=4)
+    rd = B.read_bbox_partitioned(spark, path, *Q.BBOX, res=8,
+                                 prefix_res=4)
+    plan = rd._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert re.search(r"PartitionFilters: \[.*cell_prefix.*\]", plan)
+    exp = pts.where(
+        (F.col("lon") >= Q.BBOX[0]) & (F.col("lon") <= Q.BBOX[2]) &
+        (F.col("lat") >= Q.BBOX[1]) & (F.col("lat") <= Q.BBOX[3])).count()
+    assert rd.count() == exp
