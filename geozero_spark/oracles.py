@@ -445,3 +445,20 @@ def _vectorize_sql() -> str:
 
 
 ORACLES["vectorize"] = _vectorize_sql()
+
+
+# the MVT sink's per-tile feature count == the tile-cover cardinality
+ORACLES["mvt_feature_counts"] = _W + f"""
+SELECT {Q.COVER_Z} AS z, x, y, CAST(COUNT(*) AS INTEGER) AS n_features
+FROM (
+  SELECT url, x, y FROM (
+    SELECT url,
+      {_tx_eq('bx0 * 0.01e0', Q.COVER_Z)} AS x0,
+      {_tx_eq('bx1 * 0.01e0', Q.COVER_Z)} AS x1,
+      {_ty_eq('by1 * 0.01e0', Q.COVER_Z)} AS y0,
+      {_ty_eq('by0 * 0.01e0', Q.COVER_Z)} AS y1
+    FROM geo
+  ) g, unnest(range(g.x0, g.x1 + 1)) t(x), unnest(range(g.y0, g.y1 + 1)) s(y)
+) cover
+GROUP BY x, y
+"""

@@ -314,6 +314,15 @@ def q_mvt_tiles(spark, sf_dir):
                     F.length("mvt").alias("mvt_bytes"), "mvt")
 
 
+def q_mvt_feature_counts(spark, sf_dir):
+    """Oracle bridge for the binary MVT sink: the per-tile feature
+    count of the encoded layer must equal the SQL-derivable tile-cover
+    count (all synthetic geometries are MVT-valid by construction)."""
+    g = geos_df(spark, sf_dir).select("url", "geom")
+    t = tiling.mvt_tiles(g, COVER_Z, key="url")
+    return t.select("z", "x", "y", "n_features")
+
+
 def q_bounds_agg(spark, sf_dir):
     g = geos_df(spark, sf_dir)
     return boundsagg.dataset_bounds(g, geom="geom")
@@ -466,6 +475,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_cover": q_tile_cover,
     "mvt_tiles": q_mvt_tiles,
+    "mvt_feature_counts": q_mvt_feature_counts,
     "bounds_agg": q_bounds_agg,
     "bbox_select": q_bbox_select,
     "exact_dedup": q_exact_dedup,
