@@ -137,3 +137,38 @@ def test_partitioned_bbox_pruning(spark, tmpdir_path):
         (F.col("lon") >= Q.BBOX[0]) & (F.col("lon") <= Q.BBOX[2]) &
         (F.col("lat") >= Q.BBOX[1]) & (F.col("lat") <= Q.BBOX[3])).count()
     assert rd.count() == exp
+
+
+def test_stateful_streaming_dedup(spark, tmpdir_path):
+    """applyInPandasWithState across multiple micro-batches must equal
+    the batch aggregation (state is order-independent)."""
+    import uuid
+
+    from geozero_spark.streaming import stateful
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = os.path.join(tmpdir_path, "stream_src")
+    # 4 files -> maxFilesPerTrigger=1 forces 4 micro-batches
+    (docs.repartition(4).selectExpr(
+        "substring(text, 1, 8) AS key", "doc_id")
+     .write.parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful.dedup_state_stream(stream)
+    name = "state_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got_all = spark.table(name).toPandas()
+    # latest emit per key = max n_docs (monotone counts)
+    got = (got_all.sort_values("n_docs").groupby("key").last()
+           .reset_index())
+    exp = (docs.selectExpr("substring(text, 1, 8) AS key", "doc_id")
+           .groupBy("key")
+           .agg(F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("min_doc_id"))
+           .toPandas())
+    g = {(r.key, r.n_docs, r.min_doc_id) for r in got.itertuples()}
+    e = {(r.key, r.n_docs, r.min_doc_id) for r in exp.itertuples()}
+    assert g == e
