@@ -50,9 +50,11 @@ def _disk_cells(df: DataFrame, xc: str, yc: str, res: int, radius: int,
             .drop("ix", "iy", "dx", "dy"))
 
 
-def auto_res(n_targets: int, per_cell: int = 50) -> int:
+def auto_res(n_targets: int, per_cell: int = 200) -> int:
     """Resolution giving ~per_cell targets per occupied cell under a
-    uniform assumption — keeps ring-1 candidate sets O(100)."""
+    uniform assumption. ~200/cell measured fastest for the cogrouped
+    local top-k (fewer pandas groups, larger numpy matrices); finer
+    grids pay per-group overhead, coarser ones oversized matrices."""
     import math
     if n_targets <= per_cell:
         return 2
