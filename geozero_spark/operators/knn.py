@@ -30,19 +30,28 @@ from ..functions import sqlgen as sg
 def _disk_cells(df: DataFrame, xc: str, yc: str, res: int, radius: int,
                 out: str = "cell") -> DataFrame:
     """Explode each query row into its (2r+1)^2 Chebyshev disk of cells.
-    Longitude wraps, latitude clamps (kernel/cells.neighbors parity)."""
+    Longitude wraps, latitude clamps (kernel/cells.neighbors parity).
+
+    The dx span is clamped to at most n consecutive offsets so
+    ``pmod(ix+dx, n)`` stays BIJECTIVE: with 2*radius+1 > n an unclamped
+    span would map several dx to the same cell, duplicating (query, cell)
+    rows and hence (query, target) candidates — row_number would then rank
+    the same neighbor twice and drop a true one (round-1 advisory)."""
     n = 1 << res
     d = sg.SPARK
     lon = f"(({xc}) / 100.0e0)"
     lat = f"(({yc}) / 100.0e0)"
     ix, iy = sg.grid_ixy(lon, lat, res)
+    x_span = min(2 * radius + 1, n)
+    x_lo = -(x_span // 2)
+    x_hi = x_lo + x_span - 1
     jx = f"pmod(ix + dx, {n})"
     jy = "(iy + dy)"
     cell = sg.make_cell(jx, jy, res, d)
     return (df
             .withColumn("ix", F.expr(ix)).withColumn("iy", F.expr(iy))
             .withColumn("dx", F.expr(
-                f"explode(sequence({-radius}, {radius}))"))
+                f"explode(sequence({x_lo}, {x_hi}))"))
             .withColumn("dy", F.expr(
                 f"explode(sequence({-radius}, {radius}))"))
             .where(F.expr(f"{jy} >= 0 AND {jy} < {n}"))
