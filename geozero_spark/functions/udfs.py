@@ -225,3 +225,55 @@ def pip_refine():
         return pd.Series(out)
 
     return f
+
+
+def mvt_tile_stats():
+    """Decode-own-output content check for the distributed MVT sink.
+
+    Decodes each emitted tile blob with the kernel decoder
+    (kernel/mvt.decode_tile — the parity twin of geozero's mvt reader,
+    geozero/src/mvt/mvt_reader.rs) and emits SQL-checkable invariants:
+    decoded feature count, total vertex count (polygon rings counted
+    WITHOUT the closing duplicate, mvt_writer.rs:196-204 semantics), and
+    the sums of all decoded tile-space x / y coordinates. The DuckDB
+    oracle reconstructs the same numbers from the tile-transform
+    arithmetic (mvt_writer.rs:157-173), so the blob bytes themselves are
+    content-verified end to end, not just counted.
+    """
+    from pyspark.sql.types import LongType
+    from ..kernel import mvt as kmvt
+
+    stats_type = StructType([
+        StructField("n_features", IntegerType()),
+        StructField("vtx_sum", LongType()),
+        StructField("sx_sum", LongType()),
+        StructField("sy_sum", LongType()),
+    ])
+
+    def _feature_coords(feat):
+        g = feat.geometry
+        if feat.geom_type == kmvt.GEOM_POINT:
+            return list(g)
+        if feat.geom_type == kmvt.GEOM_LINESTRING:
+            return [c for line in g for c in line]
+        if feat.geom_type == kmvt.GEOM_POLYGON:
+            # rings are decoded closed; drop the closing duplicate so
+            # counts mirror the encoder's distinct-coords rule
+            return [c for poly in g for ring in poly for c in ring[:-1]]
+        raise kmvt.MvtError(f"unknown geom type {feat.geom_type}")
+
+    @pandas_udf(stats_type)
+    def f(blobs: pd.Series) -> pd.DataFrame:
+        nf, vtx, sx, sy = [], [], [], []
+        for blob in blobs:
+            tile = kmvt.decode_tile(bytes(blob))
+            feats = [ft for layer in tile.layers for ft in layer.features]
+            coords = [c for ft in feats for c in _feature_coords(ft)]
+            nf.append(len(feats))
+            vtx.append(len(coords))
+            sx.append(sum(c[0] for c in coords))
+            sy.append(sum(c[1] for c in coords))
+        return pd.DataFrame({"n_features": nf, "vtx_sum": vtx,
+                             "sx_sum": sx, "sy_sum": sy})
+
+    return f

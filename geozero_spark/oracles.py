@@ -448,6 +448,69 @@ ORACLES["vectorize"] = _vectorize_sql()
 
 
 # the MVT sink's per-tile feature count == the tile-cover cardinality
+def _mvt_content_sql() -> str:
+    """Content oracle for the decoded MVT sink (queries.q_mvt_content).
+
+    Reconstructs, per covering tile, the decoded feature count, vertex
+    count, and tile-space coordinate sums straight from the generator
+    arithmetic + the MVT transform (mvt_writer.rs:157-173). Float op
+    order mirrors the vectorized encoder (operators/mvt_fast /
+    kernel.tiles.mvt_transform_np): tx = floor((px - left) * (extent /
+    width)) — the multiply-by-precomputed-scale order, which is what the
+    fast path computes in numpy.
+    """
+    z = Q.COVER_Z
+    w = 360.0 / (2 << z)
+    h = 180.0 / (1 << z)
+    ext = 4096
+    left = f"(-180.0e0 + x * {w!r}e0)"
+    bottom = f"((90.0e0 - y * {h!r}e0) - {h!r}e0)"
+    tx = (f"CAST(FLOOR((CAST(vx AS DOUBLE) * 0.01e0 - {left}) * "
+          f"({ext}.0e0 / {w!r}e0)) AS BIGINT)")
+    ry = (f"({ext} - CAST(FLOOR((CAST(vy AS DOUBLE) * 0.01e0 - {bottom}) * "
+          f"({ext}.0e0 / {h!r}e0)) AS BIGINT))")
+    # distinct encoded vertices: LINESTRING kind=1 has 3, the diamond
+    # POLYGON kind=2 has 4 (closing coordinate dropped by the encoder)
+    verts = """
+SELECT url,
+  vi,
+  CASE kind WHEN 1 THEN
+    (CASE vi WHEN 1 THEN xc WHEN 2 THEN xc + 100 ELSE xc + 200 END)
+  ELSE
+    (CASE vi WHEN 1 THEN xc + 305 WHEN 3 THEN xc - 305 ELSE xc END)
+  END AS vx,
+  CASE kind WHEN 1 THEN
+    (CASE vi WHEN 2 THEN yc + 50 ELSE yc END)
+  ELSE
+    (CASE vi WHEN 2 THEN yc + 305 WHEN 4 THEN yc - 305 ELSE yc END)
+  END AS vy
+FROM pts, unnest(range(1, 1 + CASE kind WHEN 1 THEN 3 ELSE 4 END)) v(vi)
+WHERE kind IN (1, 2)
+"""
+    cover = f"""
+SELECT url, x, y FROM (
+  SELECT url,
+    {_tx_eq('bx0 * 0.01e0', z)} AS x0,
+    {_tx_eq('bx1 * 0.01e0', z)} AS x1,
+    {_ty_eq('by1 * 0.01e0', z)} AS y0,
+    {_ty_eq('by0 * 0.01e0', z)} AS y1
+  FROM geo
+) g, unnest(range(g.x0, g.x1 + 1)) t(x), unnest(range(g.y0, g.y1 + 1)) s(y)
+"""
+    return _W + f""", verts AS ({verts}), cover AS ({cover})
+SELECT {z} AS z, x, y,
+  CAST(COUNT(*) FILTER (WHERE vi = 1) AS INTEGER) AS n_features,
+  CAST(COUNT(*) AS BIGINT) AS vtx_sum,
+  CAST(SUM({tx}) AS BIGINT) AS sx_sum,
+  CAST(SUM({ry}) AS BIGINT) AS sy_sum
+FROM cover JOIN verts USING (url)
+GROUP BY x, y
+"""
+
+
+ORACLES["mvt_content"] = _mvt_content_sql()
+
+
 ORACLES["mvt_feature_counts"] = _W + f"""
 SELECT {Q.COVER_Z} AS z, x, y, CAST(COUNT(*) AS INTEGER) AS n_features
 FROM (

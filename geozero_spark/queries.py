@@ -323,6 +323,24 @@ def q_mvt_feature_counts(spark, sf_dir):
     return t.select("z", "x", "y", "n_features")
 
 
+def q_mvt_content(spark, sf_dir):
+    """Content oracle for the binary MVT sink: decode every emitted
+    blob (kernel decoder) and emit per-tile invariants — feature count,
+    vertex count, and the sums of decoded tile-space coordinates — all
+    reconstructible in SQL from the tile-transform arithmetic
+    (mvt_writer.rs:157-173). Green here means the distributed encoder's
+    BYTES are right, not merely its row count."""
+    g = geos_df(spark, sf_dir).select("url", "geom")
+    t = tiling.mvt_tiles(g, COVER_Z, key="url")
+    s = udfs.mvt_tile_stats()
+    return (t.withColumn("s", s("mvt"))
+            .select("z", "x", "y",
+                    F.col("s.n_features").alias("n_features"),
+                    F.col("s.vtx_sum").alias("vtx_sum"),
+                    F.col("s.sx_sum").alias("sx_sum"),
+                    F.col("s.sy_sum").alias("sy_sum")))
+
+
 def q_bounds_agg(spark, sf_dir):
     g = geos_df(spark, sf_dir)
     return boundsagg.dataset_bounds(g, geom="geom")
@@ -476,6 +494,7 @@ QUERIES = {
     "tile_cover": q_tile_cover,
     "mvt_tiles": q_mvt_tiles,
     "mvt_feature_counts": q_mvt_feature_counts,
+    "mvt_content": q_mvt_content,
     "bounds_agg": q_bounds_agg,
     "bbox_select": q_bbox_select,
     "exact_dedup": q_exact_dedup,
