@@ -60,6 +60,72 @@ def _planes(dim: int, bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((bits, dim)).astype(np.float64)
 
 
+# --------------------------------------------------------------------------
+# portable (dual-dialect SQL) sign-random-projection signatures
+# --------------------------------------------------------------------------
+#
+# Plane components come from a Lehmer-style integer hash instead of a
+# numpy RNG, and the projections are LEFT FOLDS over the embedding —
+# the exact pattern already proven bit-identical across Spark and DuckDB
+# for cosine_topk. That makes the *whole* LSH pipeline (signatures ->
+# band buckets -> bucket join -> exact-cosine rerank) reproducible in
+# the DuckDB oracle, so the approximate operator gets a full content
+# check, not a rows-only one. Uniform(-1,1) plane entries replace
+# Gaussians; for sign projections this only mildly perturbs the angle
+# estimate and leaves the banding math unchanged.
+
+_LEHMER_M = 2147483647  # 2^31 - 1 (products stay < 2^47 « 2^63)
+_LEHMER_A = 48271
+
+
+def _plane_val_sql(seed: int, bit: int, j: str) -> str:
+    """Deterministic plane component in [-1, 1] as portable SQL
+    (identical text valid in Spark SQL and DuckDB; j is an expression
+    for the 0-based vector index)."""
+    base = seed * 131071 + bit * 8191 + 1  # folded, emitted as BIGINT
+    h0 = (f"(((CAST({base} AS BIGINT) + ({j})) % {_LEHMER_M}) + 1)")
+    h1 = f"(({h0} * {_LEHMER_A}) % {_LEHMER_M})"
+    h2 = f"(({h1} * {_LEHMER_A}) % {_LEHMER_M})"
+    return f"CAST(({h2} % 2000001) - 1000000 AS DOUBLE) / 1000000.0e0"
+
+
+def _proj_sql(vec: str, dim: int, seed: int, bit: int, d: str) -> str:
+    """Left-fold dot(vec, plane_bit) — fold order mirrored across
+    dialects so the resulting double (and hence its sign) is identical."""
+    pv = _plane_val_sql(seed, bit, "j")
+    if d == "duckdb":
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(range(1, {dim} + 1), i -> "
+                f"CAST({vec}[i] AS DOUBLE) * "
+                f"{_plane_val_sql(seed, bit, 'i - 1')})), "
+                f"(acc, v) -> acc + v)")
+    return (f"aggregate(zip_with({vec}, sequence(0, {dim} - 1), "
+            f"(v, j) -> CAST(v AS DOUBLE) * {pv}), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def srp_band_buckets_sql(vec: str, dim: int, bits: int = 32,
+                         bands: int = 4, seed: int = 42,
+                         d: str = "spark") -> list[str]:
+    """One bucket-id expression per band: ``(band << 58) | sign bits``.
+
+    Bit order matches signature_udf (most significant bit = first
+    hyperplane of the band)."""
+    rows = bits // bands
+    out = []
+    for b in range(bands):
+        terms = []
+        for r in range(rows):
+            bit = b * rows + r
+            weight = 1 << (rows - 1 - r)
+            terms.append(
+                f"(CASE WHEN {_proj_sql(vec, dim, seed, bit, d)} > 0 "
+                f"THEN {weight} ELSE 0 END)")
+        out.append(f"(CAST({b} AS BIGINT) * {1 << 58} + ("
+                   + " + ".join(terms) + "))")
+    return out
+
+
 def signature_udf(dim: int, bits: int = 32, bands: int = 4,
                   seed: int = 42):
     """Vectorized sign-random-projection band signatures.
@@ -96,16 +162,31 @@ def ann_topk(queries: DataFrame, targets: DataFrame, k: int, dim: int,
              query_key: str = "q_id", target_key: str = "t_id",
              qvec: str = "qvec", tvec: str = "tvec",
              bits: int = 32, bands: int = 4, seed: int = 42,
-             exclude_self: bool = True) -> DataFrame:
+             exclude_self: bool = True,
+             portable: bool = False) -> DataFrame:
     """Approximate top-k: LSH band-bucket candidates, exact cosine
-    verify, per-query window. Same output schema as cosine_topk."""
-    sig = signature_udf(dim, bits, bands, seed)
-    q = (queries.withColumn("_sig", sig(F.col(qvec)))
-         .withColumn("bucket", F.explode("_sig")).drop("_sig")
-         .withColumn("_qn", F.expr(norm2_expr(qvec))))
-    t = (targets.withColumn("_sig", sig(F.col(tvec)))
-         .withColumn("bucket", F.explode("_sig")).drop("_sig")
-         .withColumn("_tn", F.expr(norm2_expr(tvec))))
+    verify, per-query window. Same output schema as cosine_topk.
+
+    portable=True derives signatures from hash-based planes via pure
+    SQL expressions (JVM-side, DuckDB-reproducible — the oracle mode);
+    portable=False uses the vectorized numpy matmul (the scale mode)."""
+    if portable:
+        def _sigged(df, vec):
+            exprs = srp_band_buckets_sql(vec, dim, bits, bands, seed)
+            arr = "array(" + ", ".join(exprs) + ")"
+            return df.withColumn("bucket", F.explode(F.expr(arr)))
+        q = _sigged(queries, qvec).withColumn(
+            "_qn", F.expr(norm2_expr(qvec)))
+        t = _sigged(targets, tvec).withColumn(
+            "_tn", F.expr(norm2_expr(tvec)))
+    else:
+        sig = signature_udf(dim, bits, bands, seed)
+        q = (queries.withColumn("_sig", sig(F.col(qvec)))
+             .withColumn("bucket", F.explode("_sig")).drop("_sig")
+             .withColumn("_qn", F.expr(norm2_expr(qvec))))
+        t = (targets.withColumn("_sig", sig(F.col(tvec)))
+             .withColumn("bucket", F.explode("_sig")).drop("_sig")
+             .withColumn("_tn", F.expr(norm2_expr(tvec))))
     cand = q.join(t, on="bucket").drop("bucket")
     if exclude_self:
         cand = cand.where(F.col(query_key) != F.col(target_key))

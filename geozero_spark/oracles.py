@@ -330,6 +330,67 @@ FROM cand
 QUALIFY rank <= {Q.ANN_K}
 """
 
+
+def _ann_lsh_ctes() -> str:
+    """CTE chain replicating the portable LSH pipeline
+    (operators/similarity.srp_band_buckets_sql + ann_topk portable
+    mode) verbatim in DuckDB: hash-plane band buckets -> bucket join ->
+    distinct candidates -> exact-cosine rerank."""
+    from .operators import similarity as sim
+    exprs = sim.srp_band_buckets_sql(
+        "embedding", Q.EMB_DIM, Q.LSH_BITS, Q.LSH_BANDS, 42, D)
+    return f"""
+sq AS (
+  SELECT vec_id, embedding,
+         unnest([{', '.join(exprs)}]) AS bucket
+  FROM embeddings
+),
+lcand AS (
+  SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS t_id
+  FROM (SELECT * FROM sq WHERE vec_id % {Q.QUERY_MOD} = 0) q
+  JOIN sq t USING (bucket)
+  WHERE q.vec_id != t.vec_id
+),
+lsh_topk AS (
+  SELECT q_id, t_id, cosine,
+    CAST(row_number() OVER (PARTITION BY q_id
+         ORDER BY cosine DESC, t_id) AS INTEGER) AS rank
+  FROM (
+    SELECT c.q_id, c.t_id,
+      {_dotq} / (sqrt({_norm2('q')}) * sqrt({_norm2('t')})) AS cosine
+    FROM lcand c
+    JOIN embeddings q ON q.vec_id = c.q_id
+    JOIN embeddings t ON t.vec_id = c.t_id
+  )
+  QUALIFY rank <= {Q.ANN_K}
+)"""
+
+
+ORACLES["ann_lsh"] = f"""
+WITH {_ann_lsh_ctes()}
+SELECT q_id, t_id, cosine, rank FROM lsh_topk
+"""
+
+ORACLES["ann_recall"] = f"""
+WITH {_ann_lsh_ctes()},
+exact_topk AS (
+  SELECT q_id, t_id FROM (
+    SELECT q.vec_id AS q_id, t.vec_id AS t_id,
+      CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        {_dotq} / (sqrt({_norm2('q')}) * sqrt({_norm2('t')})) DESC,
+        t.vec_id) AS INTEGER) AS rank
+    FROM embeddings q, embeddings t
+    WHERE q.vec_id % {Q.QUERY_MOD} = 0 AND q.vec_id != t.vec_id
+  ) WHERE rank <= {Q.ANN_K}
+)
+SELECT e.q_id,
+  CAST(COUNT(l.t_id) AS BIGINT) AS n_hit,
+  CAST(COUNT(l.t_id) AS DOUBLE) / {sg.f64(float(Q.ANN_K))} AS recall
+FROM exact_topk e
+LEFT JOIN lsh_topk l ON e.q_id = l.q_id AND e.t_id = l.t_id
+GROUP BY e.q_id
+"""
+
 _toksd = th.tokens("text", D)
 _sw_cols = []
 for _lang, _words in textstats.STOPWORDS.items():

