@@ -283,11 +283,17 @@ SELECT doc_id, {_sim} AS simhash FROM o
 """
 
 _grams = f"list_distinct({th.char_ngrams('text', 3, D)})"
+# lossless glen blocking (geometric buckets, base 1/t): J >= t forces
+# glen ratio >= t, so eligible pairs are same-or-adjacent buckets.
+# ln() ulp differences vs Spark are harmless — each engine's blocking
+# is independently lossless and the exact jaccard filter decides.
 ORACLES["ngram_pairs"] = f"""
 WITH g AS (
   SELECT doc_id, {_grams} AS grams,
          length({_grams}) AS glen,
-         CAST(floor(length(text) / 64) AS BIGINT) AS bucket
+         CAST(floor(ln(greatest(length({_grams}), 1)) /
+              ln(CAST({1.0 / Q.JACCARD_T!r} AS DOUBLE))) AS BIGINT)
+           AS bucket
   FROM documents
 )
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
