@@ -480,6 +480,23 @@ ORACLES["rasterize"] = _W + (
     f"{_RPX} AS px, {_RPY} AS py, CAST(COUNT(*) AS BIGINT) AS n "
     f"FROM pts GROUP BY 2, 3, 4, 5")
 
+# decoded-blob invariants (queries.q_raster_content): the engine reads
+# them back out of the binary grid; the oracle rebuilds them from the
+# same pixel-count arithmetic as ORACLES["rasterize"]
+ORACLES["raster_content"] = _W + f"""
+, px_counts AS (
+  SELECT {Q.RASTER_Z} AS z, {_RX} AS x, {_RY} AS y,
+         {_RPX} AS px, {_RPY} AS py, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 2, 3, 4, 5
+)
+SELECT z, x, y,
+  CAST(SUM(n) AS BIGINT) AS pixel_sum,
+  CAST(SUM(n * (py * {Q.RASTER_GRID} + px)) AS BIGINT) AS wsum,
+  CAST(COUNT(*) FILTER (WHERE n > 0) AS BIGINT) AS nnz
+FROM px_counts
+GROUP BY z, x, y
+"""
+
 
 def _vectorize_sql() -> str:
     import math

@@ -233,11 +233,36 @@ def q_vectorize(spark, sf_dir):
 
 
 def q_raster_tiles(spark, sf_dir):
-    """Binary raster blobs per tile (rows-only: binary sink)."""
+    """Binary raster blobs per tile (rows-only: binary sink; content is
+    checked by q_raster_content, which decodes these same blobs)."""
     pts = points_df(spark, sf_dir)
     t = raster.rasterize_tiles(pts, z=RASTER_Z, grid=RASTER_GRID)
     return t.select("z", "x", "y", "grid",
                     F.length("raster").alias("raster_bytes"), "raster")
+
+
+def q_raster_content(spark, sf_dir):
+    """Content oracle for the raster sink: decode each tile's
+    big-endian uint32 grid blob with pure JVM byte arithmetic
+    (substring/hex/conv — no Python in the decode) and emit per-tile
+    pixel sum, index-weighted sum, and nonzero-pixel count; the DuckDB
+    oracle rebuilds the same numbers from the pixel-count arithmetic."""
+    pts = points_df(spark, sf_dir)
+    t = raster.rasterize_tiles(pts, z=RASTER_Z, grid=RASTER_GRID)
+    npx = RASTER_GRID * RASTER_GRID
+    pix = (f"transform(sequence(0, {npx - 1}), i -> "
+           f"CAST(conv(hex(substring(raster, i * 4 + 1, 4)), 16, 10) "
+           f"AS BIGINT))")
+    return (t.withColumn("_pix", F.expr(pix))
+            .select(
+                "z", "x", "y",
+                F.expr("aggregate(_pix, 0L, (acc, v) -> acc + v)")
+                .alias("pixel_sum"),
+                F.expr("aggregate(zip_with(_pix, sequence(0, "
+                       f"{npx - 1}), (v, i) -> v * CAST(i AS BIGINT)), "
+                       "0L, (acc, v) -> acc + v)").alias("wsum"),
+                F.expr("CAST(size(filter(_pix, v -> v > 0)) AS BIGINT)")
+                .alias("nnz")))
 
 
 # --------------------------------------------------------------------------
@@ -535,4 +560,5 @@ QUERIES = {
     "rasterize": q_rasterize,
     "vectorize": q_vectorize,
     "raster_tiles": q_raster_tiles,
+    "raster_content": q_raster_content,
 }
