@@ -277,3 +277,44 @@ def mvt_tile_stats():
                              "sx_sum": sx, "sy_sum": sy})
 
     return f
+
+
+def tessellate_stats():
+    """Tessellator surface for the Spark layer (parity target:
+    geozero/src/tessellator/mod.rs — vertex/triangle emission).
+
+    Emits per-geometry (n_vertices, n_triangles, area2) where area2 is
+    the summed doubled signed triangle area. Over integer-coordinate
+    geometries (the centi-degree structs) every cross product is exact
+    in doubles, so area2 is an exact integer the SQL oracle can
+    reconstruct (outer ring area minus holes)."""
+    from pyspark.sql.types import LongType
+    from ..kernel import tessellate as ktess
+
+    stats_type = StructType([
+        StructField("n_vertices", IntegerType()),
+        StructField("n_triangles", IntegerType()),
+        StructField("area2", LongType()),
+    ])
+
+    @pandas_udf(stats_type)
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        nv, nt, a2 = [], [], []
+        for geom in _pdf_to_geoms(g):
+            if geom is None:
+                nv.append(None), nt.append(None), a2.append(None)
+                continue
+            verts, tris = ktess.tessellate(geom)
+            total = 0.0
+            for (i, j, k) in tris:
+                ax, ay = verts[3 * i], verts[3 * i + 1]
+                bx, by = verts[3 * j], verts[3 * j + 1]
+                cx, cy = verts[3 * k], verts[3 * k + 1]
+                total += (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            nv.append(len(verts) // 3)
+            nt.append(len(tris))
+            a2.append(int(round(total)))
+        return pd.DataFrame({"n_vertices": nv, "n_triangles": nt,
+                             "area2": a2})
+
+    return f

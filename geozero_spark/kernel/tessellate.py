@@ -65,7 +65,11 @@ def ear_clip(ring) -> list[tuple[int, int, int]]:
             if _cross(a, b, c) <= 0:  # reflex or degenerate
                 continue
             if any(_point_in_tri(pts[j], a, b, c)
-                   for j in idx if j not in (i0, i1, i2)):
+                   for j in idx
+                   if j not in (i0, i1, i2)
+                   and pts[j] not in (a, b, c)):
+                # bridge duplicates (hole merging) sit exactly on ear
+                # edges; a coincident vertex never blocks the ear
                 continue
             tris.append((i0, i1, i2))
             idx.pop(k)
@@ -78,11 +82,92 @@ def ear_clip(ring) -> list[tuple[int, int, int]]:
     return tris
 
 
+def _open(ring) -> list[tuple[float, float]]:
+    pts = [tuple(c[:2]) for c in ring]
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    return pts
+
+
+def _bridge_one(poly: list, hole: list) -> list:
+    """Splice one hole (CW, open) into the outer chain (CCW, open) via
+    the max-x vertex / rightward-ray bridge (the classic hole
+    elimination lyon's FillTessellator subsumes; parity target
+    geozero/src/tessellator/mod.rs:38-96 interior-ring handling)."""
+    mi = max(range(len(hole)), key=lambda i: (hole[i][0], hole[i][1]))
+    mx, my = hole[mi]
+    # closest intersection of the +x ray from M with an outer edge
+    best_x = None
+    best_edge = None
+    n = len(poly)
+    for i in range(n):
+        p1, p2 = poly[i], poly[(i + 1) % n]
+        if (p1[1] > my) == (p2[1] > my):
+            continue
+        x = p1[0] + (my - p1[1]) * (p2[0] - p1[0]) / (p2[1] - p1[1])
+        if x >= mx and (best_x is None or x < best_x):
+            best_x, best_edge = x, i
+    if best_edge is None:
+        raise TessellationError("hole vertex sees no outer edge "
+                                "(hole outside the outer ring?)")
+    i1, i2 = best_edge, (best_edge + 1) % n
+    cand = i1 if poly[i1][0] > poly[i2][0] else i2
+    # Eberly refinement: if a reflex outer vertex lies inside the
+    # triangle (M, I, P), bridge to the one with the smallest angle to
+    # the ray (closest x on tie) so the bridge segment stays interior
+    I = (best_x, my)
+    P = poly[cand]
+    best_tan = None
+    for j in range(n):
+        q = poly[j]
+        if q in (P, I) or q[0] < mx:
+            continue
+        prv, nxt = poly[(j - 1) % n], poly[(j + 1) % n]
+        if _cross(prv, q, nxt) > 0:  # convex in CCW chain
+            continue
+        if not _point_in_tri(q, (mx, my), I, P):
+            continue
+        dx, dy = q[0] - mx, abs(q[1] - my)
+        tan = dy / dx if dx > 0 else float("inf")
+        if (best_tan is None or tan < best_tan
+                or (tan == best_tan and q[0] < poly[cand][0])):
+            best_tan = tan
+            cand = j
+            P = q
+    # merged CCW chain: outer up to P, bridge to M, CW around the hole
+    # back to M, bridge back to P, rest of the outer
+    hole_cycle = [hole[(mi + k) % len(hole)] for k in range(len(hole))]
+    return (poly[:cand + 1] + [hole[mi]] + hole_cycle[1:][::-1]
+            + [hole[mi], poly[cand]] + poly[cand + 1:])
+
+
+def merge_holes(rings) -> list[tuple[float, float]]:
+    """Outer ring + interior rings -> one simple CCW chain with bridge
+    duplicates, ready for ear_clip."""
+    outer = _open(rings[0])
+    if _area2(outer) < 0:
+        outer = outer[::-1]
+    holes = []
+    for r in rings[1:]:
+        h = _open(r)
+        if len(h) < 3:
+            raise TessellationError("hole with fewer than 3 coords")
+        if _area2(h) < 0:  # store CCW, _bridge_one walks it reversed
+            h = h[::-1]
+        holes.append(h)
+    holes.sort(key=lambda h: max(p[0] for p in h), reverse=True)
+    merged = outer
+    for h in holes:
+        merged = _bridge_one(merged, h)
+    return merged
+
+
 def tessellate(g: Geom):
     """Geom -> (vertices, triangles): flat [x0,y0,z0,x1,...] float list
     + index triples, VertexOutput-shaped (tessellator/mod.rs:13-17).
-    Multi-polygons concatenate with per-part index offsets; holes are
-    rejected (round-1 limitation)."""
+    Multi-polygons concatenate with per-part index offsets; interior
+    rings are bridged into the outer chain (max-x bridging) and ear-
+    clipped, preserving filled area = outer - holes."""
     if g.kind in (POLYGON, TRIANGLE):
         parts = [g.data]
     elif g.kind == MULTIPOLYGON:
@@ -94,11 +179,7 @@ def tessellate(g: Geom):
     triangles: list[tuple[int, int, int]] = []
     offset = 0
     for rings in parts:
-        if len(rings) > 1:
-            raise TessellationError("holes not supported in round 1")
-        ring = [tuple(c[:2]) for c in rings[0]]
-        if len(ring) >= 2 and ring[0] == ring[-1]:
-            ring = ring[:-1]
+        ring = merge_holes(rings) if len(rings) > 1 else _open(rings[0])
         for x, y in ring:
             vertices.extend((float(x), float(y), 0.0))
         for i0, i1, i2 in ear_clip(ring):

@@ -609,3 +609,15 @@ FROM (
 ) cover
 GROUP BY x, y
 """
+
+
+# tessellator invariants over donut zones: merged bridge chain has
+# 4 + 4 + 2 vertices, n - 2 triangles, and filled doubled-area
+# 4 * (r^2 - rh^2) in centi-degree^2 (exact integers end to end)
+ORACLES["tessellate"] = f"""
+SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+  10 AS n_vertices,
+  8 AS n_triangles,
+  CAST(4 * ({P.R_C} * {P.R_C} - {P.HR_C} * {P.HR_C}) AS BIGINT) AS area2
+FROM nation
+"""

@@ -369,6 +369,22 @@ def q_mvt_content(spark, sf_dir):
                     F.col("s.sy_sum").alias("sy_sum")))
 
 
+def q_tessellate(spark, sf_dir):
+    """Tessellator over donut zones (outer diamond + interior-ring
+    hole): WKT decode -> hole bridging -> ear clip, emitting exact
+    integer invariants — merged-chain vertex count (4+4+2), triangle
+    count (n-2), and doubled filled area 4*(r^2 - rh^2), which the
+    oracle reconstructs from the zone radii."""
+    dz = P.donut_zones_df(spark, sf_dir)
+    dec = udfs.st_geomfromwkt()
+    stats = udfs.tessellate_stats()
+    return (dz.withColumn("s", stats(dec("donut_wkt")))
+            .select("zone_id",
+                    F.col("s.n_vertices").alias("n_vertices"),
+                    F.col("s.n_triangles").alias("n_triangles"),
+                    F.col("s.area2").alias("area2")))
+
+
 def q_bounds_agg(spark, sf_dir):
     g = geos_df(spark, sf_dir)
     return boundsagg.dataset_bounds(g, geom="geom")
@@ -540,6 +556,7 @@ QUERIES = {
     "knn": q_knn,
     "tile_assign": q_tile_assign,
     "tile_cover": q_tile_cover,
+    "tessellate": q_tessellate,
     "mvt_tiles": q_mvt_tiles,
     "mvt_feature_counts": q_mvt_feature_counts,
     "mvt_content": q_mvt_content,

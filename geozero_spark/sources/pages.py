@@ -113,6 +113,23 @@ ZONE_WKT = (f"('POLYGON((' || "
             f"{_i(f'{CX_C} + {R_C}')} || ' ' || {_i(CY_C)} || '))')")
 
 
+# donut variant: same outer diamond + an interior diamond hole (odd
+# radius < outer) — exercises interior-ring handling (tessellator)
+HR_C = "(201 + (n_nationkey % 3) * 100)"
+
+ZONE_DONUT_WKT = (f"('POLYGON((' || "
+                  f"{_i(f'{CX_C} + {R_C}')} || ' ' || {_i(CY_C)} || ',' || "
+                  f"{_i(CX_C)} || ' ' || {_i(f'{CY_C} + {R_C}')} || ',' || "
+                  f"{_i(f'{CX_C} - {R_C}')} || ' ' || {_i(CY_C)} || ',' || "
+                  f"{_i(CX_C)} || ' ' || {_i(f'{CY_C} - {R_C}')} || ',' || "
+                  f"{_i(f'{CX_C} + {R_C}')} || ' ' || {_i(CY_C)} || '),(' || "
+                  f"{_i(f'{CX_C} + {HR_C}')} || ' ' || {_i(CY_C)} || ',' || "
+                  f"{_i(CX_C)} || ' ' || {_i(f'{CY_C} + {HR_C}')} || ',' || "
+                  f"{_i(f'{CX_C} - {HR_C}')} || ' ' || {_i(CY_C)} || ',' || "
+                  f"{_i(CX_C)} || ' ' || {_i(f'{CY_C} - {HR_C}')} || ',' || "
+                  f"{_i(f'{CX_C} + {HR_C}')} || ' ' || {_i(CY_C)} || '))')")
+
+
 def zones_sql(d: str, nation: str = "nation") -> str:
     """SELECT producing the zones table (zone_id, zone_name, zone_wkt)."""
     return (f"SELECT CAST(n_nationkey AS BIGINT) AS zone_id, "
@@ -164,3 +181,14 @@ def zones_df(spark, sf_dir: str):
 def duckdb_ctes() -> dict[str, str]:
     """CTE bodies for oracle SQL: WITH pages AS (...), zones AS (...)."""
     return {"pages": pages_sql(sg.DUCKDB), "zones": zones_sql(sg.DUCKDB)}
+
+
+def donut_zones_sql(d: str, nation: str = "nation") -> str:
+    """SELECT producing zones with an interior ring (zone_id, donut_wkt)."""
+    return (f"SELECT CAST(n_nationkey AS BIGINT) AS zone_id, "
+            f"{ZONE_DONUT_WKT} AS donut_wkt FROM {nation}")
+
+
+def donut_zones_df(spark, sf_dir: str):
+    register_views(spark, sf_dir)
+    return spark.sql(donut_zones_sql(sg.SPARK))
