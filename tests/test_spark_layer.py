@@ -172,3 +172,30 @@ def test_stateful_streaming_dedup(spark, tmpdir_path):
     g = {(r.key, r.n_docs, r.min_doc_id) for r in got.itertuples()}
     e = {(r.key, r.n_docs, r.min_doc_id) for r in exp.itertuples()}
     assert g == e
+
+
+def test_run_stage_partial_resume(spark, tmpdir_path):
+    """Pre-record two buckets as done: a resumed run must write ONLY the
+    pending ones (and count them correctly) in its single-write pass."""
+    base = os.path.join(tmpdir_path, "stages2")
+    df = spark.range(1000).withColumn("k", F.col("id").cast("string"))
+    full = meta.run_stage(spark, df, base, "s1", bucket_col="k",
+                          n_buckets=4, fingerprint="v1")
+    per_bucket = {b: r for b, r, _ in full}
+    # simulate a killed run: meta knows about buckets 0 and 1 only
+    import shutil
+    shutil.rmtree(os.path.join(base, "_meta"))
+    rec = spark.createDataFrame(
+        [("s1", b, per_bucket[b], 0.0, "v1", 0.0) for b in (0, 1)],
+        "stage string, bucket int, rows long, wall_s double, "
+        "fingerprint string, ts double")
+    rec.write.mode("overwrite").parquet(meta.meta_path(base, "s1"))
+    resumed = meta.run_stage(spark, df, base, "s1", bucket_col="k",
+                             n_buckets=4, fingerprint="v1")
+    assert sorted(b for b, _, _ in resumed) == [2, 3]
+    assert {b: r for b, r, _ in resumed} == {
+        2: per_bucket[2], 3: per_bucket[3]}
+    # data on disk is complete and bucket-partitioned
+    out = spark.read.parquet(os.path.join(base, "s1"))
+    assert out.count() == 1000
+    assert out.select("bucket").distinct().count() == 4
