@@ -318,3 +318,52 @@ def tessellate_stats():
                              "area2": a2})
 
     return f
+
+
+def gpx_members():
+    """GPX document text -> parallel per-member arrays (kind, n_points,
+    first coord x/y), member order = the reference's
+    (gpx_reader.rs:26-43: waypoints, per-track MultiLineString, ONE
+    all-routes MultiLineString). Parallel arrays rather than
+    array<struct> because pyspark's Arrow struct-detection path
+    (pandas/types.py metadata probe) crashes on nested struct output;
+    callers arrays_zip + posexplode JVM-side. Whole-document decode to
+    a GeometryCollection struct is st_geomfromgpx()."""
+    from ..kernel import gpx as kgpx
+
+    members_type = StructType([
+        StructField("kind", ArrayType(IntegerType())),
+        StructField("n_points", ArrayType(IntegerType())),
+        StructField("x0", ArrayType(DoubleType())),
+        StructField("y0", ArrayType(DoubleType())),
+    ])
+
+    def _first_coord(m):
+        if m.kind == 1:  # POINT
+            return m.data
+        return m.data[0][0]  # MULTILINESTRING
+
+    def _npoints(m):
+        if m.kind == 1:
+            return 1
+        return sum(len(line) for line in m.data)
+
+    @pandas_udf(members_type)
+    def f(s: pd.Series) -> pd.DataFrame:
+        kinds, npts, x0s, y0s = [], [], [], []
+        for txt in s:
+            g = kgpx.decode(txt)
+            kinds.append([m.kind for m in g.data])
+            npts.append([_npoints(m) for m in g.data])
+            x0s.append([float(_first_coord(m)[0]) for m in g.data])
+            y0s.append([float(_first_coord(m)[1]) for m in g.data])
+        return pd.DataFrame({"kind": kinds, "n_points": npts,
+                             "x0": x0s, "y0": y0s})
+
+    return f
+
+
+def st_geomfromgpx(strict: bool = False):
+    """GPX text -> GeometryCollection struct (gpx_reader.rs parity)."""
+    from ..kernel import gpx as kgpx
+    return _decode_udf(kgpx.decode, strict=strict)

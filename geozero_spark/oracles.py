@@ -621,3 +621,19 @@ SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
   CAST(4 * ({P.R_C} * {P.R_C} - {P.HR_C} * {P.HR_C}) AS BIGINT) AS area2
 FROM nation
 """
+
+
+# GPX member order (gpx_reader.rs:26-43): waypoint Point, track
+# MultiLineString (2 pts), routes MultiLineString (1 pt)
+ORACLES["gpx_decode"] = _W + """
+SELECT url, member_idx, kind, n_points, x0, y0 FROM (
+  SELECT url, 0 AS member_idx, 1 AS kind, 1 AS n_points,
+         CAST(xc AS BIGINT) AS x0, CAST(yc AS BIGINT) AS y0 FROM pts
+  UNION ALL
+  SELECT url, 1, 5, 2, CAST(xc + 100 AS BIGINT),
+         CAST(yc + 50 AS BIGINT) FROM pts
+  UNION ALL
+  SELECT url, 2, 5, 1, CAST(xc - 100 AS BIGINT),
+         CAST(yc - 50 AS BIGINT) FROM pts
+)
+"""

@@ -369,6 +369,27 @@ def q_mvt_content(spark, sf_dir):
                     F.col("s.sy_sum").alias("sy_sum")))
 
 
+def q_gpx_decode(spark, sf_dir):
+    """GPX reader through the Spark layer: per-page GPX documents
+    (waypoint + track + route) -> member geometries in the reference's
+    member order (gpx_reader.rs:26-43 — waypoints, per-track
+    MultiLineString, all-routes MultiLineString)."""
+    P.register_views(spark, sf_dir)
+    gdf = spark.sql(
+        f"SELECT {P.URL} AS url, {P.GPX_XML} AS gpx FROM documents")
+    u = udfs.gpx_members()
+    m = (gdf.withColumn("m", u("gpx"))
+         .select("url", F.posexplode(F.arrays_zip(
+             "m.kind", "m.n_points", "m.x0", "m.y0"))
+             .alias("member_idx", "mm")))
+    return m.select(
+        "url", F.col("member_idx").cast("int").alias("member_idx"),
+        F.col("mm.kind").alias("kind"),
+        F.col("mm.n_points").alias("n_points"),
+        F.col("mm.x0").cast("long").alias("x0"),
+        F.col("mm.y0").cast("long").alias("y0"))
+
+
 def q_tessellate(spark, sf_dir):
     """Tessellator over donut zones (outer diamond + interior-ring
     hole): WKT decode -> hole bridging -> ear clip, emitting exact
@@ -557,6 +578,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_cover": q_tile_cover,
     "tessellate": q_tessellate,
+    "gpx_decode": q_gpx_decode,
     "mvt_tiles": q_mvt_tiles,
     "mvt_feature_counts": q_mvt_feature_counts,
     "mvt_content": q_mvt_content,

@@ -130,6 +130,23 @@ ZONE_DONUT_WKT = (f"('POLYGON((' || "
                   f"{_i(f'{CX_C} + {HR_C}')} || ' ' || {_i(CY_C)} || '))')")
 
 
+# --- GPX document per page (waypoint + one-track + one-route) --------------
+# Integer-valued lat/lon attributes parse to exact doubles, so the
+# decoded coords cast back to the generator's centi-degree ints.
+GPX_XML = (
+    f"('<gpx><wpt lat=\"' || {_i(LAT_C)} || '\" lon=\"' || {_i(LON_C)} || "
+    f"'\"></wpt>"
+    f"<trk><trkseg>"
+    f"<trkpt lat=\"' || {_i(f'{LAT_C} + 50')} || '\" lon=\"' || "
+    f"{_i(f'{LON_C} + 100')} || '\"></trkpt>"
+    f"<trkpt lat=\"' || {_i(LAT_C)} || '\" lon=\"' || "
+    f"{_i(f'{LON_C} + 200')} || '\"></trkpt>"
+    f"</trkseg></trk>"
+    f"<rte><rtept lat=\"' || {_i(f'{LAT_C} - 50')} || '\" lon=\"' || "
+    f"{_i(f'{LON_C} - 100')} || '\"></rtept></rte>"
+    f"</gpx>')")
+
+
 def zones_sql(d: str, nation: str = "nation") -> str:
     """SELECT producing the zones table (zone_id, zone_name, zone_wkt)."""
     return (f"SELECT CAST(n_nationkey AS BIGINT) AS zone_id, "

@@ -156,3 +156,16 @@ def write_geojson_lines(df: DataFrame, path: str,
         F.coalesce(enc(F.col(geom)), F.lit("null")),
         F.lit("}"))
     df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def read_gpx(spark: SparkSession, path: str) -> DataFrame:
+    """GPX scan (gpx_reader.rs:15-43): one row per GPX document with
+    its GeometryCollection struct plus parallel member-stat arrays
+    (kind / n_points / first coord per member, reference member order).
+    Whole-file text read — GPX documents are single XML trees; many-
+    file directories parallelize by file."""
+    gc = udfs.st_geomfromgpx()
+    stats = udfs.gpx_members()
+    raw = spark.read.text(path, wholetext=True)
+    return raw.select(gc("value").alias("geom"),
+                      stats("value").alias("members"))

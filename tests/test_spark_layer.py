@@ -199,3 +199,20 @@ def test_run_stage_partial_resume(spark, tmpdir_path):
     out = spark.read.parquet(os.path.join(base, "s1"))
     assert out.count() == 1000
     assert out.select("bucket").distinct().count() == 4
+
+
+def test_read_gpx_scan(spark, tmpdir_path):
+    gpx = ('<gpx><wpt lat="10" lon="20"></wpt>'
+           '<trk><trkseg><trkpt lat="1" lon="2"></trkpt>'
+           '<trkpt lat="3" lon="4"></trkpt></trkseg></trk>'
+           '<rte><rtept lat="5" lon="6"></rtept></rte></gpx>')
+    p = os.path.join(tmpdir_path, "track.gpx")
+    with open(p, "w") as f:
+        f.write(gpx)
+    df = readers.read_gpx(spark, p)
+    row = df.collect()[0]
+    assert row.geom.kind == 7  # GeometryCollection struct
+    assert list(row.members.kind) == [1, 5, 5]
+    assert list(row.members.n_points) == [1, 2, 1]
+    assert list(row.members.x0) == [20.0, 2.0, 6.0]
+    assert list(row.members.y0) == [10.0, 1.0, 5.0]
