@@ -28,6 +28,10 @@ def scale_flat(geom: Column, factor: float) -> Column:
         geom["offs1"].alias("offs1"),
         geom["offs2"].alias("offs2"),
         geom["wkb"].alias("wkb"),
+        # T/TM side lanes pass through untouched — pre_process_xy
+        # parity (wrap.rs:5-54 forwards t/tm verbatim)
+        geom["tvals"].alias("tvals"),
+        geom["tmvals"].alias("tmvals"),
     ))
 
 

@@ -21,8 +21,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, ByteType,
-                               DoubleType, IntegerType, StringType,
-                               StructField, StructType)
+                               DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 from ..kernel import bounds as kbounds
 from ..kernel import geojson as kgeojson
@@ -43,6 +43,8 @@ GEOMETRY_TYPE = StructType([
     StructField("offs1", ArrayType(IntegerType())),
     StructField("offs2", ArrayType(IntegerType())),
     StructField("wkb", BinaryType()),
+    StructField("tvals", ArrayType(DoubleType())),
+    StructField("tmvals", ArrayType(LongType())),
 ])
 _FIELDS = [f.name for f in GEOMETRY_TYPE.fields]
 
@@ -115,6 +117,8 @@ def st_pointfromtext():
             "offs1": [None] * n,
             "offs2": [None] * n,
             "wkb": [None] * n,
+            "tvals": [None] * n,
+            "tmvals": [None] * n,
         }
         pdf = pd.DataFrame(out)
         xv = x.to_numpy(dtype=np.float64)
@@ -240,7 +244,6 @@ def mvt_tile_stats():
     arithmetic (mvt_writer.rs:157-173), so the blob bytes themselves are
     content-verified end to end, not just counted.
     """
-    from pyspark.sql.types import LongType
     from ..kernel import mvt as kmvt
 
     stats_type = StructType([
@@ -288,7 +291,6 @@ def tessellate_stats():
     geometries (the centi-degree structs) every cross product is exact
     in doubles, so area2 is an exact integer the SQL oracle can
     reconstruct (outer ring area minus holes)."""
-    from pyspark.sql.types import LongType
     from ..kernel import tessellate as ktess
 
     stats_type = StructType([

@@ -97,6 +97,22 @@ class Geom:
     # SpatiaLite/GPKG blobs carry an envelope in their header; kept for
     # header-exact re-encode (wkb_reader.rs:256-268, :306-311).
     envelope: list = field(default_factory=list)
+    # T / TM side lanes (geometry_processor.rs:31-76 CoordDimensions):
+    # flat per-coordinate arrays in traversal order — t is geodetic
+    # decimal-year time (f64), tm nanosecond time (u64). Like the
+    # reference's coordinate(x, y, z, m, t, tm) callback they ride
+    # ALONGSIDE the coordinates: transforms forward them untouched and
+    # every format writer ignores them (wkt_writer.rs:109-136).
+    t: Optional[list] = None
+    tm: Optional[list] = None
+
+    @property
+    def has_t(self) -> bool:
+        return self.t is not None
+
+    @property
+    def has_tm(self) -> bool:
+        return self.tm is not None
 
     @property
     def coord_width(self) -> int:

@@ -42,7 +42,8 @@ FLAT_KINDS = {POINT, LINESTRING, POLYGON, MULTIPOINT, MULTILINESTRING,
 # Spark DDL for the geometry column (functions/udfs.py uses this string).
 GEOMETRY_DDL = ("kind tinyint, srid int, has_z boolean, has_m boolean, "
                 "bbox array<double>, coords array<double>, "
-                "offs1 array<int>, offs2 array<int>, wkb binary")
+                "offs1 array<int>, offs2 array<int>, wkb binary, "
+                "tvals array<double>, tmvals array<bigint>")
 
 
 def _flat_coords(seqs, width: int, m_only: bool):
@@ -75,6 +76,10 @@ def to_struct(g: Optional[Geom]) -> Optional[dict]:
         "offs1": None,
         "offs2": None,
         "wkb": None,
+        # T/TM side lanes (CoordDimensions t/tm): per-coordinate arrays
+        # carried verbatim; no format encodes them (reference parity)
+        "tvals": list(g.t) if g.t is not None else None,
+        "tmvals": [int(v) for v in g.tm] if g.tm is not None else None,
     }
     w = g.coord_width
     m_only = g.has_m and not g.has_z
@@ -160,7 +165,11 @@ def from_struct(d: Optional[Any]) -> Optional[Geom]:
             data = [[fix(c) for c in ring] for ring in data]
         elif kind == MULTIPOLYGON:
             data = [[[fix(c) for c in ring] for ring in poly] for poly in data]
-    return Geom(kind, data, has_z=has_z, has_m=has_m, srid=srid)
+    tv = get("tvals")
+    tmv = get("tmvals")
+    return Geom(kind, data, has_z=has_z, has_m=has_m, srid=srid,
+                t=None if tv is None else list(tv),
+                tm=None if tmv is None else [int(v) for v in tmv])
 
 
 def xy_np(d: Any) -> tuple[np.ndarray, np.ndarray]:

@@ -216,3 +216,25 @@ def test_read_gpx_scan(spark, tmpdir_path):
     assert list(row.members.n_points) == [1, 2, 1]
     assert list(row.members.x0) == [20.0, 2.0, 6.0]
     assert list(row.members.y0) == [10.0, 1.0, 5.0]
+
+
+def test_t_tm_lanes_through_spark_transform(spark):
+    """T/TM side lanes survive the JVM coordinate transform
+    (pre_process_xy parity: wrap.rs forwards t/tm verbatim) while x/y
+    scale, and the WKT writer ignores them."""
+    from geozero_spark.functions import cols, udfs
+    from geozero_spark.kernel import structrepr as sr
+    from geozero_spark.kernel.model import LINESTRING, Geom
+
+    g = Geom(LINESTRING, [(100.0, 200.0), (300.0, 400.0)],
+             t=[2020.5, 2021.5], tm=[11, 22])
+    df = spark.createDataFrame([(sr.to_struct(g),)],
+                               f"geom struct<{sr.GEOMETRY_DDL}>")
+    out = df.select(cols.scale_flat(F.col("geom"), 0.01).alias("geom"))
+    row = out.collect()[0].geom
+    assert list(row.coords) == [1.0, 2.0, 3.0, 4.0]
+    assert list(row.tvals) == [2020.5, 2021.5]
+    assert list(row.tmvals) == [11, 22]
+    enc = udfs.st_aswkt()
+    wkt_row = out.select(enc("geom").alias("w")).collect()[0].w
+    assert wkt_row == "LINESTRING(1 2,3 4)"
