@@ -66,10 +66,16 @@ def explode_bbox_cover(df: DataFrame, res: int, bbox_col: str = "bbox",
     iy1 = gi(f"element_at({bbox_col}, 4)", 180.0, 90.0)
     cell = sg.make_cell("ix", "iy", res, d)
     return (df
+            # empty geometries carry bbox=[]; under ANSI element_at
+            # would fail the whole job instead of skipping the feature
+            .where(F.expr(f"size({bbox_col}) = 4"))
             .withColumn("ix", F.expr(f"explode(sequence({ix0}, {ix1}))"))
             .withColumn("iy", F.expr(f"explode(sequence({iy0}, {iy1}))"))
             .withColumn(out, F.expr(cell))
             .drop("ix", "iy"))
+
+
+_BROADCAST_POLY_LIMIT = 100_000
 
 
 def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
@@ -107,6 +113,14 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
         from ..kernel import structrepr as sr
 
         spark = points.sparkSession
+        n_polys = polys.select(poly_key).limit(
+            _BROADCAST_POLY_LIMIT + 1).count()
+        if n_polys > _BROADCAST_POLY_LIMIT:
+            raise ValueError(
+                f"pip_join broadcast path collects the polygon side to "
+                f"the driver and it exceeds {_BROADCAST_POLY_LIMIT} "
+                f"rows; use broadcast_polys=False (shuffle path, "
+                f"optionally salt=N) for big-big joins")
         poly_map = {
             r[0]: sr.from_struct(r[1].asDict(recursive=False))
             for r in polys.select(poly_key, poly_geom).collect()}

@@ -75,6 +75,9 @@ def explode_tiles_eq(df: DataFrame, z: int, bbox_col: str = "geom.bbox"
     y0 = gy(f"element_at({bbox_col}, 4)")  # top edge -> smaller y
     y1 = gy(f"element_at({bbox_col}, 2)")
     return (df
+            # empty geometries carry bbox=[]; skip them rather than
+            # fail the job on ANSI element_at
+            .where(F.expr(f"size({bbox_col}) = 4"))
             .withColumn("z", F.lit(z))
             .withColumn("x", F.expr(f"explode(sequence({x0}, {x1}))"))
             .withColumn("y", F.expr(f"explode(sequence({y0}, {y1}))")))

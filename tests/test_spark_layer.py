@@ -238,3 +238,50 @@ def test_t_tm_lanes_through_spark_transform(spark):
     enc = udfs.st_aswkt()
     wkt_row = out.select(enc("geom").alias("w")).collect()[0].w
     assert wkt_row == "LINESTRING(1 2,3 4)"
+
+
+def test_empty_geometry_skipped_in_covers(spark):
+    """Empty geometries carry bbox=[]; cover explodes must skip them
+    instead of failing ANSI element_at (round-1 advisory)."""
+    from geozero_spark.kernel import structrepr as sr, wkt as kwkt
+    from geozero_spark.operators import pip_join as pj, tiling
+
+    empty = sr.to_struct(kwkt.decode("POLYGON EMPTY"))
+    full = sr.to_struct(kwkt.decode("POLYGON((0 0,1 0,1 1,0 1,0 0))"))
+    df = spark.createDataFrame(
+        [(1, empty), (2, full)], f"id long, geom struct<{sr.GEOMETRY_DDL}>")
+    cov = pj.explode_bbox_cover(df, res=4, bbox_col="geom.bbox")
+    assert {r.id for r in cov.select("id").distinct().collect()} == {2}
+    tiles = tiling.explode_tiles_eq(df, z=2)
+    assert {r.id for r in tiles.select("id").distinct().collect()} == {2}
+
+
+def test_bounds_counts_wkb_fallback_coords(spark):
+    """Exotic kinds carried as wkb (coords NULL) must still contribute
+    to n_coords (VertexCounter parity, round-1 advisory)."""
+    from geozero_spark.kernel import structrepr as sr, wkt as kwkt
+    from geozero_spark.operators import boundsagg
+
+    flat = sr.to_struct(kwkt.decode("LINESTRING(0 0,1 1,2 0)"))
+    exotic = sr.to_struct(kwkt.decode(
+        "CIRCULARSTRING(0 0,1 1,2 0)"))  # wkb fallback, 3 coords
+    assert exotic["coords"] is None and exotic["wkb"] is not None
+    df = spark.createDataFrame(
+        [(flat,), (exotic,)], f"geom struct<{sr.GEOMETRY_DDL}>")
+    row = boundsagg.dataset_bounds(df).collect()[0]
+    assert row.n_features == 2
+    assert row.n_coords == 6
+
+
+def test_pip_broadcast_guard(spark, monkeypatch):
+    from geozero_spark.kernel import structrepr as sr, wkt as kwkt
+    from geozero_spark.operators import pip_join as pj
+
+    poly = sr.to_struct(kwkt.decode("POLYGON((0 0,4 0,4 4,0 4,0 0))"))
+    polys = spark.createDataFrame(
+        [(i, poly) for i in range(5)],
+        f"zone_id long, poly struct<{sr.GEOMETRY_DDL}>")
+    pts = spark.createDataFrame([(1.0, 1.0)], "lon double, lat double")
+    monkeypatch.setattr(pj, "_BROADCAST_POLY_LIMIT", 3)
+    with pytest.raises(ValueError, match="broadcast_polys=False"):
+        pj.pip_join(pts, polys, res=4)
