@@ -118,6 +118,9 @@ def core_workload(spark, clones: int, core_only: bool = False):
     targets = pts.select(F.col("doc_id").alias("t_id"),
                          F.col("xc").alias("tx"), F.col("yc").alias("ty"))
     timed("knn", lambda: knn.knn_join(
+        queries, targets, k=3, res=None, max_radius=16,
+        method="auto").count())
+    timed("knn_grid", lambda: knn.knn_join(
         queries, targets, k=3, res=None, max_radius=16).count())
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")

@@ -26,10 +26,12 @@ def brute_topk(qrows, trows, k, exclude_self=True):
     return sorted(out)
 
 
-def run_knn(spark, qrows, trows, k, res, exclude_self=True):
+def run_knn(spark, qrows, trows, k, res, exclude_self=True,
+            method="grid"):
     q = spark.createDataFrame(qrows, "q_id long, qx long, qy long")
     t = spark.createDataFrame(trows, "t_id long, tx long, ty long")
-    got = knn_join(q, t, k=k, res=res, exclude_self=exclude_self)
+    got = knn_join(q, t, k=k, res=res, exclude_self=exclude_self,
+                   method=method)
     rows = sorted((r.q_id, r.t_id, r.dist2, r.rank) for r in got.collect())
     got.unpersist()
     return rows
@@ -59,15 +61,20 @@ def test_knn_matches_brute_force_random(spark):
     qy = rng.integers(-9000, 9000, size=25)
     qrows = [(int(100 + i), int(x), int(y)) for i, (x, y) in
              enumerate(zip(qx, qy))]
+    want = brute_topk(qrows, trows, k=3)
     for res in (2, 3, 5):
         got = run_knn(spark, qrows, trows, k=3, res=res)
-        want = brute_topk(qrows, trows, k=3)
         assert got == want, f"res={res}"
+    # broadcast path: bit-identical to the grid path and brute force
+    got_bc = run_knn(spark, qrows, trows, k=3, res=None,
+                     method="broadcast")
+    assert got_bc == want
 
 
 def test_knn_exclude_self_and_ties(spark):
     # targets equidistant from the query: tie broken by target_key asc
     qrows = [(5, 0, 0)]
     trows = [(5, 0, 0), (9, 100, 0), (7, -100, 0), (8, 0, 100)]
-    got = run_knn(spark, qrows, trows, k=2, res=3)
-    assert got == [(5, 7, 10000, 1), (5, 8, 10000, 2)]
+    for method in ("grid", "broadcast"):
+        got = run_knn(spark, qrows, trows, k=2, res=3, method=method)
+        assert got == [(5, 7, 10000, 1), (5, 8, 10000, 2)], method
