@@ -40,13 +40,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        out: str = "sig") -> DataFrame:
     """Attach a MinHash signature array (word-shingle based).
 
-    The shingle+hash pipeline is materialized ONCE in a helper column;
-    the per-permutation mins are cheap maps over it (without this,
-    Catalyst re-evaluates the whole tokenize/shingle/hash expression
-    once per permutation — 16x the work).
+    The token array AND the shingle+hash pipeline are each materialized
+    ONCE in helper columns; downstream stages are cheap maps over them.
+    Without this Catalyst re-evaluates the whole upstream expression at
+    every reference — 16x for the per-permutation mins, and 3x PER
+    SHINGLE for the ``toks[i+j]`` accesses inside the shingle lambda
+    (measured 5.1s of a 7.2s pipeline just re-splitting text).
     """
     toks = th.tokens(text_col, _D)
-    sh = th.word_shingles(toks, shingle_w, _D)
+    sh = th.word_shingles("_mh_toks", shingle_w, _D)
     if fast:
         hashes = f"transform({sh}, x -> abs(xxhash64(x)) % {th.P})"
     else:
@@ -55,9 +57,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         th.minhash_perm("_mh_hashes", 2 * j + 3,
                         (j * 2654435761) % th.P, _D)
         for j in range(num_perm))
-    return (df.withColumn("_mh_hashes", F.expr(hashes))
+    return (df.withColumn("_mh_toks", F.expr(toks))
+            .withColumn("_mh_hashes", F.expr(hashes))
             .withColumn(out, F.expr(f"array({perms})"))
-            .drop("_mh_hashes"))
+            .drop("_mh_toks", "_mh_hashes"))
 
 
 def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
