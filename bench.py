@@ -94,6 +94,14 @@ def core_workload(spark, clones: int, core_only: bool = False):
     timed("pip_join", lambda: pip_join.pip_join(
         pts, polys, res=Q.PIP_RES).count())
 
+    # big-big fallback: cell equi-join (shuffle both sides) with
+    # deterministic two-sided salting over the planted hot cells +
+    # AQE skew splitting — the path a polygon side too large to
+    # broadcast takes at 10^12 rows
+    timed("pip_join_shuffle", lambda: pip_join.pip_join(
+        pts, polys, res=Q.PIP_RES, broadcast_polys=False,
+        salt=8).count())
+
     cell = sg.cell_id("lon", "lat", 8, sg.SPARK)
     timed("cell_counts", lambda: pts.groupBy(
         F.expr(cell).alias("cell")).count().count())

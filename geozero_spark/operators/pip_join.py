@@ -147,7 +147,11 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
         drop = ["_inside", "cell"] + (["_salt"] if salt else [])
         return refined.where(F.col("_inside")).drop(*drop)
 
-    cand = pts.join(cover, on=keys, how="inner")
+    # the caller asserted the polygon side is too big to broadcast;
+    # Catalyst's size estimate for the exploded cover is unreliable
+    # (generate nodes), so pin the shuffle join here — AQE still
+    # handles skew splitting / partition coalescing at runtime
+    cand = pts.join(cover.hint("shuffle_hash"), on=keys, how="inner")
     refined = cand.withColumn(
         "_inside",
         udfs.pip_refine()(F.col(poly_key), F.col(poly_geom),
