@@ -369,3 +369,26 @@ def st_geomfromgpx(strict: bool = False):
     """GPX text -> GeometryCollection struct (gpx_reader.rs parity)."""
     from ..kernel import gpx as kgpx
     return _decode_udf(kgpx.decode, strict=strict)
+
+
+def shp_records_wkb():
+    """Whole .shp file bytes -> array of per-record EWKB blobs (NULL
+    array element for NullShape records). Bridges the shapefile kernel
+    (kernel/shp.py, parity geozero/src/shp/shp_reader.rs) to the
+    geometry struct via the proven WKB path — array<binary> avoids
+    pyspark's nested-struct Arrow bug, and st_geomfromwkb restores the
+    struct after a JVM-side posexplode."""
+    from ..kernel import shp as kshp
+
+    @pandas_udf(ArrayType(BinaryType()))
+    def f(s: pd.Series) -> pd.Series:
+        out = []
+        for buf in s:
+            recs = kshp.decode_records(bytes(buf))
+            out.append([
+                None if g is None else
+                kwkb.encode(g, dialect=kwkb.DIALECT_EWKB)
+                for _, g in recs])
+        return pd.Series(out, dtype=object)
+
+    return f

@@ -637,3 +637,12 @@ SELECT url, member_idx, kind, n_points, x0, y0 FROM (
          CAST(yc - 50 AS BIGINT) FROM pts
 )
 """
+
+
+# shapefile record order == doc_id order (queries.q_shp_decode writes
+# one Point record per document, 1-based record numbers)
+ORACLES["shp_decode"] = """
+SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS recno,
+       CAST(xc AS BIGINT) AS x_c, CAST(yc AS BIGINT) AS y_c
+FROM (SELECT doc_id,
+""" + f"{P.LON_C} AS xc, {P.LAT_C} AS yc FROM documents)"

@@ -369,6 +369,39 @@ def q_mvt_content(spark, sf_dir):
                     F.col("s.sy_sum").alias("sy_sum")))
 
 
+def q_shp_decode(spark, sf_dir):
+    """Shapefile reader through the Spark layer: a Point shapefile is
+    materialized deterministically from the synthetic points (kernel
+    writer), then scanned via read_shp (binaryFile -> kernel record
+    decode -> EWKB -> struct). Output is (recno, x_c, y_c) with recno
+    the 1-based shapefile record number in doc_id order."""
+    import hashlib
+    import os
+
+    from .kernel import shp as kshp
+    from .kernel.model import POINT, Geom
+    from .sources import readers
+
+    P.register_views(spark, sf_dir)
+    rows = spark.sql(
+        f"SELECT doc_id, {P.LON_C} AS xc, {P.LAT_C} AS yc "
+        f"FROM documents ORDER BY doc_id").collect()
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    d = f"/tmp/gz_shp_{tag}"
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "points.shp")
+    if not os.path.exists(path):
+        buf = kshp.encode([Geom(POINT, (float(r.xc), float(r.yc)))
+                           for r in rows])
+        with open(path, "wb") as f:
+            f.write(buf)
+    out = readers.read_shp(spark, d)
+    return out.select(
+        (F.col("record_idx") + 1).cast("int").alias("recno"),
+        cols.point_x(F.col("geom")).cast("long").alias("x_c"),
+        cols.point_y(F.col("geom")).cast("long").alias("y_c"))
+
+
 def q_gpx_decode(spark, sf_dir):
     """GPX reader through the Spark layer: per-page GPX documents
     (waypoint + track + route) -> member geometries in the reference's
@@ -579,6 +612,7 @@ QUERIES = {
     "tile_cover": q_tile_cover,
     "tessellate": q_tessellate,
     "gpx_decode": q_gpx_decode,
+    "shp_decode": q_shp_decode,
     "mvt_tiles": q_mvt_tiles,
     "mvt_feature_counts": q_mvt_feature_counts,
     "mvt_content": q_mvt_content,

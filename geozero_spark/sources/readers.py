@@ -169,3 +169,23 @@ def read_gpx(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.text(path, wholetext=True)
     return raw.select(gc("value").alias("geom"),
                       stats("value").alias("members"))
+
+
+def read_shp(spark: SparkSession, path: str) -> DataFrame:
+    """Shapefile scan (geozero/src/shp/reader.rs iter_geometries): one
+    row per shape record with (path, record_idx, geom struct).
+
+    binaryFile source -> kernel decode to per-record EWKB (one Arrow
+    batch per file) -> JVM posexplode -> WKB decode to the geometry
+    struct. Directories of .shp files parallelize by file; a single
+    giant shapefile is inherently a sequential container (records are
+    not length-indexed without the .shx sidecar), matching the
+    reference's streaming reader."""
+    u = udfs.shp_records_wkb()
+    dec = udfs.st_geomfromwkb(dialect="ewkb")
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.shp").load(path)
+           .select("path", u(F.col("content")).alias("_recs")))
+    return (raw.select(
+        "path", F.posexplode_outer("_recs").alias("record_idx", "_wkb"))
+        .withColumn("geom", dec("_wkb")).drop("_wkb"))

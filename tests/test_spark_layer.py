@@ -285,3 +285,15 @@ def test_pip_broadcast_guard(spark, monkeypatch):
     monkeypatch.setattr(pj, "_BROADCAST_POLY_LIMIT", 3)
     with pytest.raises(ValueError, match="broadcast_polys=False"):
         pj.pip_join(pts, polys, res=4)
+
+
+def test_read_shp_scan_mixed(spark):
+    """read_shp over the reference's own poly.shp fixture: 10
+    MultiPolygon records through binaryFile -> kernel -> EWKB ->
+    struct."""
+    d = os.path.join(os.path.dirname(__file__), "data", "shp")
+    df = readers.read_shp(spark, os.path.join(d, "poly.shp"))
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r.geom.kind == 6 for r in rows)
+    assert sorted(r.record_idx for r in rows) == list(range(10))
