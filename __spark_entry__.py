@@ -5,9 +5,11 @@
 - queries(): every implemented operator (SURVEY.md §2) as
   (spark, sf_dir) -> DataFrame.
 - oracle_sql(): DuckDB-runnable ANSI SQL per query with identical
-  output column names/values (rows-only queries omitted: ann_lsh is
-  probabilistic by design, mvt_tiles is a binary sink whose byte parity
-  is covered by kernel golden tests).
+  output column names/values. Only the raw binary sinks (mvt_tiles,
+  raster_tiles) are rows-only — each has a content-checked twin
+  (mvt_content decodes the emitted blobs, raster_content reads the
+  grids back via JVM byte arithmetic), and ann_lsh/ann_recall are
+  fully oracled via hash-derived portable LSH planes.
 """
 
 from __future__ import annotations

@@ -94,14 +94,6 @@ def core_workload(spark, clones: int, core_only: bool = False):
     timed("pip_join", lambda: pip_join.pip_join(
         pts, polys, res=Q.PIP_RES).count())
 
-    # big-big fallback: cell equi-join (shuffle both sides) with
-    # deterministic two-sided salting over the planted hot cells +
-    # AQE skew splitting — the path a polygon side too large to
-    # broadcast takes at 10^12 rows
-    timed("pip_join_shuffle", lambda: pip_join.pip_join(
-        pts, polys, res=Q.PIP_RES, broadcast_polys=False,
-        salt=8).count())
-
     cell = sg.cell_id("lon", "lat", 8, sg.SPARK)
     timed("cell_counts", lambda: pts.groupBy(
         F.expr(cell).alias("cell")).count().count())
@@ -119,6 +111,30 @@ def core_workload(spark, clones: int, core_only: bool = False):
         pts.unpersist()
         geos.unpersist()
         return t, c, n_pts
+
+    # big-big fallback: cell equi-join (shuffle both sides) with
+    # deterministic two-sided salting over the planted hot cells +
+    # AQE skew splitting — the path a polygon side too large to
+    # broadcast takes at 10^12 rows
+    timed("pip_join_shuffle", lambda: pip_join.pip_join(
+        pts, polys, res=Q.PIP_RES, broadcast_polys=False,
+        salt=8).count())
+
+    # resumable stage write: one dynamic-partition write of the cell-
+    # bucketed points + one metrics agg (plans/meta), then a resume
+    # no-op pass over the recorded _meta
+    import shutil
+    from geozero_spark.plans import meta as pmeta
+    stage_base = f"/tmp/gz_bench_stage_{CPUS}"
+    shutil.rmtree(stage_base, ignore_errors=True)
+    cells = pts.withColumn("cell", F.expr(cell))
+    timed("stage_write", lambda: sum(
+        r for _, r, _ in pmeta.run_stage(
+            spark, cells, stage_base, "pts", bucket_col="cell",
+            n_buckets=16, fingerprint="bench")))
+    timed("stage_resume_noop", lambda: len(pmeta.run_stage(
+        spark, cells, stage_base, "pts", bucket_col="cell",
+        n_buckets=16, fingerprint="bench")))
 
     queries = (pts.where(F.col("doc_id") % 101 == 0)
                .select(F.col("doc_id").alias("q_id"),
