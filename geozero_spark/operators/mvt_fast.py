@@ -266,3 +266,226 @@ def struct_to_tile_seqs(rec: dict, extent: int, left: float,
         if not rings or any(_distinct_len(r) < 3 for r in rings):
             raise kmvt.MvtError("ring with fewer than 3 distinct coords")
     return kind, polys
+
+
+# ---------------------------------------------------------------------------
+# batched per-tile path: one transform for ALL features, python command
+# building for the (dominant) tiny-geometry case
+# ---------------------------------------------------------------------------
+#
+# Profiling the per-feature pipeline above on the bench tiles showed
+# ~36us/feature in struct_to_tile_seqs (a fresh asarray + transform per
+# feature) and ~58us/feature in the numpy command builders — all
+# numpy-call overhead on 3-5 point geometries. Batching the transform
+# per TILE (0.11ms vs 5.1ms per 142-feature tile) and building command
+# ints in plain python (2us vs 58us per small feature) keeps the bytes
+# identical while removing the per-feature numpy fixed costs. varint
+# encoding stays vectorized over the tile's concatenated command
+# stream.
+
+
+def _zz(v: int) -> int:
+    # python ints sign-extend on >>, so this is exact zigzag
+    return (v << 1) ^ (v >> 63)
+
+
+def _run_py(cmds: list, cmd: int, xs, ys, s: int, e: int, cx: int,
+            cy: int, step: int = 1):
+    cmds.append((cmd & 0x7) | ((e - s if step == 1 else s - e) << 3))
+    rng = range(s, e, 1) if step == 1 else range(s, e, -1)
+    for i in rng:
+        x, y = xs[i], ys[i]
+        cmds.append(_zz(x - cx))
+        cmds.append(_zz(y - cy))
+        cx, cy = x, y
+    return cx, cy
+
+
+def _eligible(rec) -> bool:
+    if rec is None:
+        return True  # handled as skip
+    kind = rec.get("kind")
+    if kind is None or int(kind) not in _FLAT_2D:
+        return False
+    if (rec.get("wkb") is not None or rec.get("has_z")
+            or rec.get("has_m")):
+        return False
+    return rec.get("coords") is not None
+
+
+def encode_tile_fast(layer_name: str, extent: int, items: list,
+                     left: float, bottom: float, right: float,
+                     top: float):
+    """items: [(feature_key, rec_dict_or_None)] in final feature order.
+    Returns (tile_bytes, n_features, n_skipped) or None if any feature
+    is not fast-eligible (caller falls back to the kernel encoder for
+    the whole tile). Bytes identical to the kernel path."""
+    # eligibility scan first: the fallback must re-encode everything
+    for _, rec in items:
+        if rec is not None and not _eligible(rec):
+            return None
+    # one transform for all coordinates in the tile
+    flat: list = []
+    lens: list[int] = []
+    for _, rec in items:
+        if rec is None:
+            lens.append(0)
+            continue
+        c = rec["coords"]
+        lens.append(len(c) // 2)
+        flat.extend(c)
+    if flat:
+        arr = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+        tx, ty = ktiles.mvt_transform_np(arr[:, 0], arr[:, 1], extent,
+                                         left, bottom, right, top)
+        xs = tx.astype(np.int64).tolist()
+        ys = ty.astype(np.int64).tolist()
+    else:
+        xs, ys = [], []
+
+    feats = []  # (fid, props, gtype, cmd_list)
+    skipped = 0
+    base = 0
+    for idx, (key, rec) in enumerate(items):
+        n = lens[idx]
+        if rec is None:
+            skipped += 1
+            continue
+        try:
+            feats.append(_feature_cmds_py(rec, idx, key, xs, ys, base, n))
+        except kmvt.MvtError:
+            skipped += 1
+        base += n
+    layer = _frame_layer(layer_name, extent, feats)
+    out = bytearray()
+    kmvt._write_bytes(out, 3, layer)
+    return bytes(out), len(feats), skipped
+
+
+def _feature_cmds_py(rec, fid, key, xs, ys, base, n):
+    kind = int(rec["kind"])
+    if n == 0:
+        raise kmvt.MvtError("empty geometry")
+    props = {"id": str(key)}
+    if kind in (POINT, MULTIPOINT):
+        cmds: list[int] = []
+        _run_py(cmds, 1, xs, ys, base, base + n, 0, 0)
+        return fid, props, kmvt.GEOM_POINT, cmds
+    o1 = rec.get("offs1")
+    if kind == LINESTRING:
+        lines = [(base, base + n)]
+    elif kind == MULTILINESTRING:
+        lines = [(base + int(o1[i]), base + int(o1[i + 1]))
+                 for i in range(len(o1) - 1)]
+    else:
+        lines = None
+    if lines is not None:
+        if any(e - s < 2 for s, e in lines):
+            raise kmvt.MvtError("LineString with fewer than 2 coordinates")
+        cmds = []
+        cx = cy = 0
+        for s, e in lines:
+            cx, cy = _run_py(cmds, 1, xs, ys, s, s + 1, cx, cy)
+            cx, cy = _run_py(cmds, 2, xs, ys, s + 1, e, cx, cy)
+        return fid, props, kmvt.GEOM_LINESTRING, cmds
+    # polygonal
+    rings = [(base + int(o1[i]), base + int(o1[i + 1]))
+             for i in range(len(o1) - 1)]
+    if kind == POLYGON:
+        polys = [rings]
+    else:
+        o2 = rec["offs2"]
+        polys = [rings[int(o2[i]):int(o2[i + 1])]
+                 for i in range(len(o2) - 1)]
+    # validate + normalize first (a later bad ring skips the feature
+    # before any emission — kernel parity)
+    norm = []
+    for rings_of in polys:
+        if not rings_of:
+            raise kmvt.MvtError("ring with fewer than 3 distinct coords")
+        nr = []
+        for ri, (s, e) in enumerate(rings_of):
+            if e - s >= 2 and xs[s] == xs[e - 1] and ys[s] == ys[e - 1]:
+                e -= 1
+            if e - s < 3:
+                raise kmvt.MvtError("ring with fewer than 3 distinct coords")
+            area2 = 0
+            px, py = xs[e - 1], ys[e - 1]
+            for i in range(s, e):
+                x, y = xs[i], ys[i]
+                area2 += px * y - x * py
+                px, py = x, y
+            want_positive = ri == 0
+            nr.append((s, e, (area2 > 0) != want_positive))
+        norm.append(nr)
+    cmds = []
+    cx = cy = 0
+    for nr in norm:
+        for s, e, rev in nr:
+            if not rev:
+                cx, cy = _run_py(cmds, 1, xs, ys, s, s + 1, cx, cy)
+                cx, cy = _run_py(cmds, 2, xs, ys, s + 1, e, cx, cy)
+            else:
+                cx, cy = _run_py(cmds, 1, xs, ys, e - 1, e - 2, cx, cy,
+                                 step=-1)
+                cx, cy = _run_py(cmds, 2, xs, ys, e - 2, s - 1, cx, cy,
+                                 step=-1)
+            cmds.append((7 & 0x7) | (1 << 3))
+    return fid, props, kmvt.GEOM_POLYGON, cmds
+
+
+def _frame_layer(name: str, extent: int, feats: list) -> bytes:
+    """feats: (fid, props, gtype, cmd_list) -> layer bytes (identical
+    to kernel _encode_layer / encode_layer_fast framing)."""
+    keys: list[str] = []
+    key_idx: dict[str, int] = {}
+    values: list[bytes] = []
+    value_idx: dict[bytes, int] = {}
+
+    out = bytearray()
+    kmvt._tag(out, 15, 0)
+    kmvt._write_varint(out, 2)
+    kmvt._write_bytes(out, 1, name.encode("utf-8"))
+
+    all_cmds = np.array([c for f in feats for c in f[3]], dtype=np.int64)
+    blob, nbytes = varints_np(all_cmds)
+    byte_off = np.zeros(len(nbytes) + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_off[1:])
+
+    ci = 0
+    for fid, props, gtype, cmds in feats:
+        fb = bytearray()
+        if fid is not None:
+            kmvt._tag(fb, 1, 0)
+            kmvt._write_varint(fb, fid)
+        tags: list[int] = []
+        for k, v in props.items():
+            if k not in key_idx:
+                key_idx[k] = len(keys)
+                keys.append(k)
+            ev = kmvt._encode_value(v)
+            if ev not in value_idx:
+                value_idx[ev] = len(values)
+                values.append(ev)
+            tags.append(key_idx[k])
+            tags.append(value_idx[ev])
+        if tags:
+            packed = bytearray()
+            for t in tags:
+                kmvt._write_varint(packed, t)
+            kmvt._write_bytes(fb, 2, bytes(packed))
+        kmvt._tag(fb, 3, 0)
+        kmvt._write_varint(fb, gtype)
+        ncmds = len(cmds)
+        span = blob[byte_off[ci]:byte_off[ci + ncmds]]
+        kmvt._write_bytes(fb, 4, span)
+        ci += ncmds
+        kmvt._write_bytes(out, 2, bytes(fb))
+
+    for k in keys:
+        kmvt._write_bytes(out, 3, k.encode("utf-8"))
+    for v in values:
+        kmvt._write_bytes(out, 4, v)
+    kmvt._tag(out, 5, 0)
+    kmvt._write_varint(out, extent)
+    return bytes(out)

@@ -123,31 +123,13 @@ def mvt_tiles(df: DataFrame, z: int, key: str = "url",
         return blob, len(feats), skipped
 
     def _encode_fast(pdf, zz, xx, yy, left, bottom, right, top):
-        """Vectorized path (operators/mvt_fast): returns None if any
-        feature is not fast-eligible -> whole tile via kernel path."""
+        """Batched fast path (mvt_fast.encode_tile_fast): one transform
+        for the whole tile + python command building; returns None if
+        any feature is not fast-eligible -> whole tile via kernel."""
         from . import mvt_fast
-        feats = []
-        skipped = 0
-        geoms = pdf[geom]
-        for i, k in enumerate(pdf[key]):
-            rec = geoms.iloc[i]
-            if rec is None:
-                skipped += 1
-                continue
-            try:
-                r = mvt_fast.struct_to_tile_seqs(
-                    rec, extent, left, bottom, right, top)
-            except kmvt.MvtError:
-                skipped += 1
-                continue
-            if r is None:
-                return None
-            kind, seqs = r
-            feats.append((i, {"id": str(k)}, kind, seqs))
-        layer_bytes = mvt_fast.encode_layer_fast(layer, extent, feats)
-        out = bytearray()
-        kmvt._write_bytes(out, 3, layer_bytes)
-        return bytes(out), len(feats), skipped
+        items = list(zip(pdf[key].tolist(), pdf[geom].tolist()))
+        return mvt_fast.encode_tile_fast(
+            layer, extent, items, left, bottom, right, top)
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         zz = int(pdf["z"].iloc[0])
