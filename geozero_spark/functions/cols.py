@@ -66,3 +66,35 @@ def bbox_intersects(geom: Column, xmin: float, ymin: float, xmax: float,
            (bbox_xmax(geom) >= F.lit(xmin)) & \
            (bbox_ymin(geom) <= F.lit(ymax)) & \
            (bbox_ymax(geom) >= F.lit(ymin))
+
+
+def point_struct_from_wkt_jvm(wkt: Column) -> Column:
+    """Pure-JVM parse of simple 2D ``POINT(x y)`` WKT into the geometry
+    struct — NULL when the text does not match (callers can coalesce
+    with the kernel pandas decode for mixed inputs).
+
+    This is the scale path for point-dominated pipelines: the kernel
+    codec (functions/udfs.st_pointfromtext) stays the general/parity
+    path, but a point scan at 10^12 rows should never leave
+    whole-stage codegen just to split two numbers. CAST(text AS DOUBLE)
+    is exact for the integer centi-degree payloads, so downstream
+    arithmetic is bit-identical to the pandas path.
+    """
+    x = F.regexp_extract(wkt, r"^POINT\((-?[0-9.]+) (-?[0-9.]+)\)$", 1)
+    y = F.regexp_extract(wkt, r"^POINT\((-?[0-9.]+) (-?[0-9.]+)\)$", 2)
+    xd = x.cast("double")
+    yd = y.cast("double")
+    st = F.struct(
+        F.lit(1).cast("tinyint").alias("kind"),
+        F.lit(None).cast("int").alias("srid"),
+        F.lit(False).alias("has_z"),
+        F.lit(False).alias("has_m"),
+        F.array(xd, yd, xd, yd).alias("bbox"),
+        F.array(xd, yd).alias("coords"),
+        F.lit(None).cast("array<int>").alias("offs1"),
+        F.lit(None).cast("array<int>").alias("offs2"),
+        F.lit(None).cast("binary").alias("wkb"),
+        F.lit(None).cast("array<double>").alias("tvals"),
+        F.lit(None).cast("array<bigint>").alias("tmvals"),
+    )
+    return F.when((x != "") & (y != ""), st).otherwise(F.lit(None))

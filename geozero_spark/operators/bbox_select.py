@@ -58,11 +58,27 @@ def bbox_cell_intervals(xmin: float, ymin: float, xmax: float,
 
 def bbox_filter(df: DataFrame, xmin: float, ymin: float, xmax: float,
                 ymax: float, res: int, lon: str = "lon",
-                lat: str = "lat", cell: str = "cell") -> DataFrame:
-    """Cell-interval prefilter (prunable at scan) + exact bbox refine."""
+                lat: str = "lat", cell: str = "cell",
+                pushdown_form: bool = True) -> DataFrame:
+    """Cell-interval prefilter + exact bbox refine.
+
+    pushdown_form=True emits plain OR-of-BETWEENs — required for
+    parquet row-group/file pruning, and safe when ``cell`` is a STORED
+    column (read_bbox*). For an on-the-fly cell expression pass
+    pushdown_form=False: filter pushdown substitutes the full Morton
+    expression at every reference, and the repeated deep tree sends the
+    optimizer/codegen into minutes of plan compilation (or heap OOM);
+    the ``exists()`` lambda form references ``cell`` exactly once."""
     ivals = bbox_cell_intervals(xmin, ymin, xmax, ymax, res)
-    pred = " OR ".join(
-        f"({cell} BETWEEN {lo} AND {hi})" for lo, hi in ivals)
+    if pushdown_form:
+        pred = " OR ".join(
+            f"({cell} BETWEEN {lo} AND {hi})" for lo, hi in ivals)
+    else:
+        arr = ", ".join(
+            f"named_struct('lo', CAST({lo} AS BIGINT), "
+            f"'hi', CAST({hi} AS BIGINT))" for lo, hi in ivals)
+        pred = (f"exists(array({arr}), "
+                f"r -> {cell} >= r.lo AND {cell} <= r.hi)")
     exact = (F.col(lon) >= xmin) & (F.col(lon) <= xmax) & \
             (F.col(lat) >= ymin) & (F.col(lat) <= ymax)
     return df.where(F.expr(pred)).where(exact)

@@ -48,15 +48,31 @@ RASTER_SCALE = 32
 
 
 def points_from_pages(pages: DataFrame) -> DataFrame:
-    """pages -> extracted/decoded point location (+ doc_id, lon/lat)."""
-    dec = udfs.st_pointfromtext()
+    """pages -> extracted/decoded point location (+ doc_id, lon/lat).
+
+    Point decode is the pure-JVM parse (cols.point_struct_from_wkt_jvm)
+    — LOC_RE only ever yields simple 2D POINT text, so the point scan
+    stays inside whole-stage codegen end to end. (A pandas-UDF fallback
+    via coalesce would NOT help: ArrowEvalPython stages evaluate
+    unconditionally, so the UDF would still run on every row.) The
+    kernel point codec remains oracle-exercised by wkt_roundtrip /
+    wkb_roundtrip."""
     return (pages
             .withColumn("loc_wkt", F.regexp_extract("text", LOC_RE, 1))
-            .withColumn("geom", dec("loc_wkt"))
+            .withColumn("geom",
+                        cols.point_struct_from_wkt_jvm(F.col("loc_wkt")))
             .withColumn("doc_id",
                         F.regexp_extract("url", DOCID_RE, 1).cast("long"))
-            .withColumn("xc", cols.point_x(F.col("geom")).cast("long"))
-            .withColumn("yc", cols.point_y(F.col("geom")).cast("long"))
+            # xc/yc as SMALL leaf expressions straight from the text:
+            # without the Arrow barrier a struct-mediated
+            # element_at(geom.coords, …) would be inlined wholesale into
+            # every downstream reference (the Morton spread alone
+            # references a coordinate ~32x), ballooning codegen to a
+            # JVM-heap-OOM at plan compile time
+            .withColumn("xc", F.regexp_extract(
+                "loc_wkt", r"^POINT\((-?[0-9]+) ", 1).cast("long"))
+            .withColumn("yc", F.regexp_extract(
+                "loc_wkt", r" (-?[0-9]+)\)$", 1).cast("long"))
             .withColumn("lon", F.col("xc") / F.lit(100.0))
             .withColumn("lat", F.col("yc") / F.lit(100.0)))
 
@@ -447,7 +463,11 @@ def q_bounds_agg(spark, sf_dir):
 def q_bbox_select(spark, sf_dir):
     pts = bbox_select.with_cell(points_df(spark, sf_dir), "lon", "lat",
                                 CELL_RES)
-    out = bbox_select.bbox_filter(pts, *BBOX, res=CELL_RES)
+    # on-the-fly cell expression -> compact predicate form (see
+    # bbox_filter docstring); the pushdown OR form is exercised against
+    # stored cell columns by test_partitioned_bbox_pruning / PLANS.md
+    out = bbox_select.bbox_filter(pts, *BBOX, res=CELL_RES,
+                                  pushdown_form=False)
     return out.select("url", "lon", "lat")
 
 

@@ -297,3 +297,26 @@ def test_read_shp_scan_mixed(spark):
     assert len(rows) == 10
     assert all(r.geom.kind == 6 for r in rows)
     assert sorted(r.record_idx for r in rows) == list(range(10))
+
+
+def test_jvm_point_parse_matches_kernel(spark):
+    """cols.point_struct_from_wkt_jvm must produce the same struct
+    values as the kernel pandas codec for simple 2D POINTs, and NULL
+    for anything else."""
+    from geozero_spark.functions import cols, udfs
+    texts = ["POINT(1300 6700)", "POINT(-17999 -8999)", "POINT(0 0)",
+             "LINESTRING(0 0,1 1)", "", "POINT(1 2 3)"]
+    df = spark.createDataFrame([(t,) for t in texts], "wkt string")
+    dec = udfs.st_pointfromtext()
+    out = df.select(
+        "wkt",
+        cols.point_struct_from_wkt_jvm(F.col("wkt")).alias("jvm"),
+        dec("wkt").alias("kern")).collect()
+    for r in out:
+        if r.wkt.startswith("POINT(") and r.wkt.count(" ") == 1:
+            assert r.jvm is not None, r.wkt
+            assert list(r.jvm.coords) == list(r.kern.coords), r.wkt
+            assert list(r.jvm.bbox) == list(r.kern.bbox)
+            assert r.jvm.kind == r.kern.kind == 1
+        else:
+            assert r.jvm is None, r.wkt
