@@ -98,3 +98,59 @@ def point_struct_from_wkt_jvm(wkt: Column) -> Column:
         F.lit(None).cast("array<bigint>").alias("tmvals"),
     )
     return F.when((x != "") & (y != ""), st).otherwise(F.lit(None))
+
+
+def _pairs_sql(inner: str) -> str:
+    return (f"transform(split({inner}, ','), p -> named_struct("
+            f"'x', CAST(element_at(split(p, ' '), 1) AS DOUBLE), "
+            f"'y', CAST(element_at(split(p, ' '), 2) AS DOUBLE)))")
+
+
+def _geom_sql_from_pairs(kind: int, pairs: str, with_offs: bool) -> str:
+    bbox = (f"array(array_min(transform({pairs}, r -> r.x)), "
+            f"array_min(transform({pairs}, r -> r.y)), "
+            f"array_max(transform({pairs}, r -> r.x)), "
+            f"array_max(transform({pairs}, r -> r.y)))")
+    offs1 = (f"array(0, CAST(size({pairs}) AS INT))" if with_offs
+             else "CAST(NULL AS ARRAY<INT>)")
+    return (f"named_struct("
+            f"'kind', CAST({kind} AS TINYINT), "
+            f"'srid', CAST(NULL AS INT), "
+            f"'has_z', false, 'has_m', false, "
+            f"'bbox', {bbox}, "
+            f"'coords', flatten(transform({pairs}, r -> array(r.x, r.y))), "
+            f"'offs1', {offs1}, "
+            f"'offs2', CAST(NULL AS ARRAY<INT>), "
+            f"'wkb', CAST(NULL AS BINARY), "
+            f"'tvals', CAST(NULL AS ARRAY<DOUBLE>), "
+            f"'tmvals', CAST(NULL AS ARRAY<BIGINT>))")
+
+
+def simple_geom_from_wkt_jvm(wkt: Column) -> Column:
+    """Pure-JVM parse of simple 2D LINESTRING / single-ring POLYGON /
+    POINT WKT into the geometry struct; NULL otherwise.
+
+    Companion to point_struct_from_wkt_jvm: the scale path for scans
+    whose payloads are known-simple (the kernel codec stays the general
+    parity path). split/cast expressions are exact for integer-valued
+    text, so downstream arithmetic is bit-identical to the pandas
+    decode."""
+    ls = F.regexp_extract(wkt, r"^LINESTRING\(([-0-9. ,]+)\)$", 1)
+    pg = F.regexp_extract(wkt, r"^POLYGON\(\(([-0-9. ,]+)\)\)$", 1)
+    ls_struct = F.expr(_geom_sql_from_pairs(
+        2, _pairs_sql(f"regexp_extract({_c(wkt)}, "
+                      r"'^LINESTRING\\(([-0-9. ,]+)\\)$', 1)"), False))
+    pg_struct = F.expr(_geom_sql_from_pairs(
+        3, _pairs_sql(f"regexp_extract({_c(wkt)}, "
+                      r"'^POLYGON\\(\\(([-0-9. ,]+)\\)\\)$', 1)"), True))
+    return (F.when(ls != "", ls_struct)
+            .when(pg != "", pg_struct)
+            .otherwise(point_struct_from_wkt_jvm(wkt)))
+
+
+def _c(col: Column) -> str:
+    """SQL text of a simple column reference."""
+    from pyspark.sql.column import Column as _Col
+    if isinstance(col, str):
+        return col
+    return col._jc.toString()

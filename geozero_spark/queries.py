@@ -83,28 +83,27 @@ def points_df(spark: SparkSession, sf_dir: str,
 
 
 def geos_from_pages(pages: DataFrame) -> DataFrame:
-    """pages -> extracted/decoded secondary geometry (lines/polygons)."""
-    dec = udfs.st_geomfromwkt()
+    """pages -> extracted/decoded secondary geometry (lines/polygons).
+
+    GEO_RE only ever yields simple LINESTRING / single-ring POLYGON
+    text, so the decode is the pure-JVM parse
+    (cols.simple_geom_from_wkt_jvm) — zero Python in the geometry scan.
+    The kernel WKT codec stays the general path, oracle-exercised by
+    wkt_roundtrip / zones_encode / geojson_encode."""
     return (pages
             .withColumn("geo_wkt",
                         F.nullif(F.regexp_extract("text", GEO_RE, 1),
                                  F.lit("")))
             .where(F.col("geo_wkt").isNotNull())
-            .withColumn("geom_c", dec("geo_wkt"))
+            .withColumn("geom_c",
+                        cols.simple_geom_from_wkt_jvm(F.col("geo_wkt")))
             .withColumn("geom", cols.scale_flat(F.col("geom_c"), 0.01)))
 
 
 def geos_df(spark: SparkSession, sf_dir: str,
             clones: int = 1) -> DataFrame:
     """pages -> extracted/decoded secondary geometry (lines/polygons)."""
-    dec = udfs.st_geomfromwkt()
-    return (P.pages_df(spark, sf_dir, clones=clones)
-            .withColumn("geo_wkt",
-                        F.nullif(F.regexp_extract("text", GEO_RE, 1),
-                                 F.lit("")))
-            .where(F.col("geo_wkt").isNotNull())
-            .withColumn("geom_c", dec("geo_wkt"))
-            .withColumn("geom", cols.scale_flat(F.col("geom_c"), 0.01)))
+    return geos_from_pages(P.pages_df(spark, sf_dir, clones=clones))
 
 
 def zones_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -320,3 +320,35 @@ def test_jvm_point_parse_matches_kernel(spark):
             assert r.jvm.kind == r.kern.kind == 1
         else:
             assert r.jvm is None, r.wkt
+
+
+def test_jvm_simple_geom_parse_matches_kernel(spark):
+    from geozero_spark.functions import cols, udfs
+    texts = ["LINESTRING(100 200,200 250,300 200)",
+             "POLYGON((305 0,0 305,-305 0,0 -305,305 0))",
+             "POINT(12 -34)",
+             "MULTIPOINT(1 1,2 2)",    # not simple -> NULL
+             "POLYGON((0 0,4 0,4 4,0 0),(1 1,2 1,1 2,1 1))",  # hole
+             ""]
+    df = spark.createDataFrame([(t,) for t in texts], "wkt string")
+    dec = udfs.st_geomfromwkt()
+    out = df.select(
+        "wkt", cols.simple_geom_from_wkt_jvm(F.col("wkt")).alias("jvm"),
+        dec("wkt").alias("kern")).collect()
+    simple = 0
+    for r in out:
+        w = r.wkt
+        is_simple = (w.startswith("POINT(") and w.count(" ") == 1) or \
+            w.startswith("LINESTRING(") or \
+            (w.startswith("POLYGON((") and "),(" not in w)
+        if not is_simple:
+            assert r.jvm is None, w
+            continue
+        simple += 1
+        assert r.jvm.kind == r.kern.kind, w
+        assert list(r.jvm.coords) == list(r.kern.coords), w
+        assert list(r.jvm.bbox) == list(r.kern.bbox), w
+        j1 = None if r.jvm.offs1 is None else list(r.jvm.offs1)
+        k1 = None if r.kern.offs1 is None else list(r.kern.offs1)
+        assert j1 == k1, w
+    assert simple == 3
