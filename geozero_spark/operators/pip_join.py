@@ -113,9 +113,12 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
         from ..kernel import structrepr as sr
 
         spark = points.sparkSession
-        n_polys = polys.select(poly_key).limit(
-            _BROADCAST_POLY_LIMIT + 1).count()
-        if n_polys > _BROADCAST_POLY_LIMIT:
+        # ONE job for guard + collect: take(limit+1) both bounds the
+        # driver memory and fetches the rows (a separate count job was
+        # measurable fixed cost on every pip_join call)
+        rows = polys.select(poly_key, poly_geom).take(
+            _BROADCAST_POLY_LIMIT + 1)
+        if len(rows) > _BROADCAST_POLY_LIMIT:
             raise ValueError(
                 f"pip_join broadcast path collects the polygon side to "
                 f"the driver and it exceeds {_BROADCAST_POLY_LIMIT} "
@@ -123,7 +126,7 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
                 f"optionally salt=N) for big-big joins")
         poly_map = {
             r[0]: sr.from_struct(r[1].asDict(recursive=False))
-            for r in polys.select(poly_key, poly_geom).collect()}
+            for r in rows}
         bc = spark.sparkContext.broadcast(poly_map)
         cover = F.broadcast(cover.drop(poly_geom))
         cand = pts.join(cover, on=keys, how="inner")

@@ -107,9 +107,12 @@ def geos_df(spark: SparkSession, sf_dir: str,
 
 
 def zones_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dec = udfs.st_geomfromwkt()
+    # single-ring diamond WKT -> pure-JVM parse (no Python workers for
+    # a 25-row dimension table); kernel codec parity is pinned by
+    # tests and the zones_encode oracle consumes this same struct
     return (P.zones_df(spark, sf_dir)
-            .withColumn("poly_c", dec("zone_wkt"))
+            .withColumn("poly_c",
+                        cols.simple_geom_from_wkt_jvm(F.col("zone_wkt")))
             .withColumn("poly", cols.scale_flat(F.col("poly_c"), 0.01)))
 
 
