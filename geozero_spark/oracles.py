@@ -646,3 +646,13 @@ SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS recno,
        CAST(xc AS BIGINT) AS x_c, CAST(yc AS BIGINT) AS y_c
 FROM (SELECT doc_id,
 """ + f"{P.LON_C} AS xc, {P.LAT_C} AS yc FROM documents)"
+
+
+# event-time tumbling window: warc_ts = epoch + doc_id seconds; the
+# 1-hour window start is integer floor division (all values positive)
+ORACLES["streaming_windowed"] = """
+SELECT CAST((1767225600 + doc_id) // 3600 * 3600 AS BIGINT) AS win_start,
+       lang, CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM documents
+GROUP BY 1, 2
+"""

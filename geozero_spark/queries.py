@@ -618,6 +618,40 @@ def q_streaming_cell_counts(spark, sf_dir):
     return spark.table(name)
 
 
+def q_streaming_windowed(spark, sf_dir):
+    """Event-time tumbling-window aggregation with a watermark over the
+    streaming pages feed (warc_ts is the event time): the late-data
+    pattern a 10^12-row crawl ingest needs. Deterministic input -> the
+    window truncation is SQL-reproducible; the watermark DROP semantics
+    are exercised with genuinely late micro-batches in
+    tests/test_spark_layer.py::test_streaming_watermark_drops_late."""
+    import hashlib
+    import os
+    import uuid
+    src = f"{sf_dir}/documents.parquet"
+    tag = hashlib.sha1(src.encode()).hexdigest()[:12]
+    sdir = f"/tmp/gz_stream_{tag}"
+    os.makedirs(sdir, exist_ok=True)
+    link = f"{sdir}/documents.parquet"
+    if not os.path.exists(link):
+        os.symlink(os.path.realpath(src), link)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(sdir)
+    pages = stream.selectExpr(
+        f"{P.URL} AS url", P._warc_ts(sg.SPARK) + " AS warc_ts", "lang")
+    agg = (pages
+           .withWatermark("warc_ts", "1 hour")
+           .groupBy(F.window("warc_ts", "1 hour").alias("win"), "lang")
+           .agg(F.count("*").alias("n_pages")))
+    name = "wins_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("win.start").cast("long").alias("win_start"),
+        "lang", F.col("n_pages").cast("long").alias("n_pages"))
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "wkt_roundtrip": q_wkt_roundtrip,
@@ -651,6 +685,7 @@ QUERIES = {
     "lang_stats": q_lang_stats,
     "fingerprint": q_fingerprint,
     "streaming_cell_counts": q_streaming_cell_counts,
+    "streaming_windowed": q_streaming_windowed,
     "svg_encode": q_svg_encode,
     "rasterize": q_rasterize,
     "vectorize": q_vectorize,

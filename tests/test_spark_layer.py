@@ -352,3 +352,55 @@ def test_jvm_simple_geom_parse_matches_kernel(spark):
         k1 = None if r.kern.offs1 is None else list(r.kern.offs1)
         assert j1 == k1, w
     assert simple == 3
+
+
+def test_streaming_watermark_drops_late(spark, tmpdir_path):
+    """Watermark semantics with genuinely late micro-batches: batch 1
+    advances event time to T+3h; batch 2 delivers an event at T (3h
+    late, past the 1h watermark) plus a fresh one. In append mode the
+    late row must NOT appear in any emitted window."""
+    import time as _time
+    src = os.path.join(tmpdir_path, "late_src")
+    os.makedirs(src, exist_ok=True)
+    base = 1767225600
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base + 3 * 3600)], "id long, ts_sec long")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    first = {f for f in os.listdir(src) if f.endswith(".parquet")}
+
+    stream = (spark.readStream.schema("id long, ts_sec long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    agg = (stream
+           .withColumn("ts", F.expr("timestamp_seconds(ts_sec)"))
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("win"))
+           .agg(F.count("*").alias("n")))
+    ck = os.path.join(tmpdir_path, "late_ckpt")
+    sink = os.path.join(tmpdir_path, "late_sink")
+    flat = agg.select(
+        F.unix_timestamp("win.start").cast("long").alias("win_start"),
+        "n")
+    q = (flat.writeStream.format("parquet").option("path", sink)
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", ck).start())
+    q.awaitTermination()
+
+    # batch 2: one LATE row (at base, watermark is base+3h-1h) and one
+    # fresh row that closes the late window question
+    b2 = spark.createDataFrame(
+        [(3, base), (4, base + 5 * 3600)], "id long, ts_sec long")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    # resume from the SAME checkpoint: the watermark state (base+2h)
+    # survives the restart, so batch 2's base-time row is late
+    q2 = (flat.writeStream.format("parquet").option("path", sink)
+          .outputMode("append").trigger(availableNow=True)
+          .option("checkpointLocation", ck).start())
+    q2.awaitTermination()
+    rows = [(r.win_start, r.n) for r in
+            spark.read.parquet(sink).collect()]
+    # the base-hour window is emitted exactly once (batch 1's on-time
+    # row, n=1); a leaked late row would re-emit it or bump the count
+    base_rows = [(st, n) for st, n in rows if st == base]
+    assert base_rows == [(base, 1)], base_rows
+    # the fresh row's window was emitted on the resumed run
+    assert any(st == base + 3 * 3600 for st, _ in rows)
