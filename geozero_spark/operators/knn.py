@@ -91,8 +91,13 @@ def _cell_local_topk(disks: DataFrame, tgt: DataFrame, k: int,
         tid = tpdf[target_key].to_numpy(dtype=np.int64)
         txv = tpdf[tx].to_numpy(dtype=np.int64)
         tyv = tpdf[ty].to_numpy(dtype=np.int64)
-        rows_q, rows_t, rows_d = [], [], []
-        # chunk queries so the distance matrix stays ~64MB
+        # pre-sort targets by key: a STABLE argsort of dist2 then gives
+        # exact (dist2, target_key) order fully vectorized (no per-row
+        # python lexsort loop — same trick as knn_join_broadcast)
+        ts = np.argsort(tid, kind="stable")
+        tid, txv, tyv = tid[ts], txv[ts], tyv[ts]
+        big = np.iinfo(np.int64).max
+        out_q, out_t, out_d = [], [], []
         chunk = max(1, (8 << 20) // max(len(tid), 1))
         for s in range(0, len(qid), chunk):
             e = min(s + chunk, len(qid))
@@ -101,22 +106,22 @@ def _cell_local_topk(disks: DataFrame, tgt: DataFrame, k: int,
             d2 = dx * dx + dy * dy
             if exclude_self:
                 same = qid[s:e, None] == tid[None, :]
-                d2 = np.where(same, np.iinfo(np.int64).max, d2)
+                d2 = np.where(same, big, d2)
             kk = min(k, d2.shape[1])
-            # exact (dist2, target_key) order via lexsort on the
-            # k-smallest partition
             part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-            for r in range(e - s):
-                cols = part[r]
-                order = np.lexsort((tid[cols], d2[r, cols]))
-                sel = cols[order]
-                keep = d2[r, sel] != np.iinfo(np.int64).max
-                sel = sel[keep]
-                rows_q.extend([qid[s + r]] * len(sel))
-                rows_t.extend(tid[sel].tolist())
-                rows_d.extend(d2[r, sel].tolist())
-        return pd.DataFrame({query_key: rows_q, target_key: rows_t,
-                             "dist2": rows_d})
+            part = np.sort(part, axis=1)  # ascending target key
+            d2s = np.take_along_axis(d2, part, axis=1)
+            order = np.argsort(d2s, axis=1, kind="stable")
+            sel = np.take_along_axis(part, order, axis=1)
+            d2o = np.take_along_axis(d2s, order, axis=1)
+            keep = (d2o != big).ravel()
+            out_q.append(np.repeat(qid[s:e], kk)[keep])
+            out_t.append(tid[sel.ravel()[keep]])
+            out_d.append(d2o.ravel()[keep])
+        return pd.DataFrame({
+            query_key: np.concatenate(out_q),
+            target_key: np.concatenate(out_t),
+            "dist2": np.concatenate(out_d)})
 
     return (disks.groupBy("cell")
             .cogroup(tgt.groupBy("cell"))
