@@ -189,3 +189,37 @@ def read_shp(spark: SparkSession, path: str) -> DataFrame:
     return (raw.select(
         "path", F.posexplode_outer("_recs").alias("record_idx", "_wkb"))
         .withColumn("geom", dec("_wkb")).drop("_wkb"))
+
+
+def read_shp_features(spark: SparkSession, path: str) -> DataFrame:
+    """Shapefile FEATURE scan (reader.rs iter_features): geometry from
+    the .shp record stream joined positionally with .dbf attributes
+    (props as map<string,string> — the Properties->HashMap shape).
+    Directories pair each base.shp with base.dbf; records with no
+    matching attribute row get a NULL props map."""
+    geoms = read_shp(spark, path).withColumn(
+        "_base", F.regexp_replace("path", r"\.shp$", ""))
+    from ..kernel import dbf as kdbf
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (ArrayType, MapType, StringType)
+
+    @pandas_udf(ArrayType(MapType(StringType(), StringType())))
+    def dbf_rows(content: pd.Series) -> pd.Series:
+        out = []
+        for buf in content:
+            recs = kdbf.decode_records(bytes(buf))
+            out.append([{k: None if v is None else str(v)
+                         for k, v in r.items()} for r in recs])
+        return pd.Series(out, dtype=object)
+
+    props = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.dbf").load(path)
+             .select(F.regexp_replace("path", r"\.dbf$", "")
+                     .alias("_base"),
+                     dbf_rows(F.col("content")).alias("_rows")))
+    props = props.select(
+        "_base", F.posexplode_outer("_rows").alias("record_idx", "props"))
+    return (geoms.join(props, on=["_base", "record_idx"], how="left")
+            .select("path", "record_idx", "geom", "props"))

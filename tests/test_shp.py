@@ -103,3 +103,17 @@ def test_point_writer_roundtrip():
     assert [g.data for _, g in recs] == [(float(i), float(-i))
                                         for i in range(5)]
     assert [r for r, _ in recs] == [1, 2, 3, 4, 5]
+
+
+def test_dbf_properties_match_reference_expectations():
+    """dbase parity on the reference's own poly.dbf: 10 records,
+    EAS_ID > 100 for every feature (shp-reader.rs:33-35), AREA
+    5268.813 present (shp-reader.rs:104)."""
+    from geozero_spark.kernel import dbf
+    with open(os.path.join(DATA, "poly.dbf"), "rb") as f:
+        recs = dbf.decode_records(f.read())
+    assert len(recs) == 10
+    assert all(r["EAS_ID"] > 100 for r in recs)
+    assert any(r["AREA"] == 5268.813 for r in recs)
+    assert all(isinstance(r["PRFEDEA"], str) for r in recs)
+    assert all(isinstance(r["EAS_ID"], int) for r in recs)

@@ -404,3 +404,18 @@ def test_streaming_watermark_drops_late(spark, tmpdir_path):
     assert base_rows == [(base, 1)], base_rows
     # the fresh row's window was emitted on the resumed run
     assert any(st == base + 3 * 3600 for st, _ in rows)
+
+
+def test_read_shp_features_with_dbf(spark):
+    """Feature scan: poly.shp geometries + poly.dbf attributes zipped
+    by record index (iter_features parity — EAS_ID > 100 for all)."""
+    d = os.path.join(os.path.dirname(__file__), "data", "shp")
+    df = readers.read_shp_features(spark, d)
+    rows = [r for r in df.collect() if r.path.endswith("poly.shp")]
+    assert len(rows) == 10
+    assert all(r.geom.kind == 6 for r in rows)
+    assert all(r.props is not None and float(r.props["EAS_ID"]) > 100
+               for r in rows)
+    # shapefiles without a .dbf sibling keep NULL props
+    others = [r for r in df.collect() if r.path.endswith("line.shp")]
+    assert others and all(r.props is None for r in others)
