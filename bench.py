@@ -138,6 +138,21 @@ def core_workload(spark, clones: int, core_only: bool = False):
         spark, cells, stage_base, "pts", bucket_col="cell",
         n_buckets=16, fingerprint="bench")))
 
+    # Iceberg-style layout: directory-partition by coarse cell, sort by
+    # fine cell; then a bbox read hits PartitionFilters + row-group
+    # stats while the naive read scans everything
+    from geozero_spark.operators import bbox_select as B
+    part_path = f"/tmp/gz_bench_cells_{CPUS}"
+    if not os.path.exists(part_path + "/_SUCCESS"):
+        B.write_cell_partitioned(pts, part_path, res=8, prefix_res=4)
+    bbox = (-30.0, -20.0, 40.0, 35.0)
+    timed("bbox_read_pruned", lambda: B.read_bbox_partitioned(
+        spark, part_path, *bbox, res=8, prefix_res=4).count())
+    timed("bbox_read_fullscan", lambda: spark.read.parquet(part_path)
+          .where((F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2]) &
+                 (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3]))
+          .count())
+
     queries = (pts.where(F.col("doc_id") % 101 == 0)
                .select(F.col("doc_id").alias("q_id"),
                        F.col("xc").alias("qx"), F.col("yc").alias("qy")))
@@ -226,6 +241,15 @@ def main():
         return
 
     spark = _session(CPUS)
+    # steady-state measurement: spin the Python worker pool before the
+    # timed window (same rationale as the scaling levels — long-lived
+    # executors never pay fork+import inside a query)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+    spark.range(0, CPUS * 4, 1, CPUS * 4).select(_warm("id")).count()
     t0 = time.perf_counter()
     t, c, n_pts = core_workload(spark, CLONES)
     total = round(time.perf_counter() - t0, 3)

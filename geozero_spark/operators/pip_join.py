@@ -89,15 +89,10 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
     poly_key for every (point, polygon) containment pair.
     """
     pts = with_cell(points, lon, lat, res)
-    cover = explode_bbox_cover(
-        polys.select(poly_key, poly_geom),
-        res, bbox_col=f"{poly_geom}.bbox")
     if salt > 0:
         pts = pts.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(lon), F.col(lat)),
                             F.lit(salt)))
-        cover = cover.withColumn(
-            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
         keys = ["cell", "_salt"]
     else:
         keys = ["cell"]
@@ -109,6 +104,7 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import BooleanType
 
+        from ..kernel import cells as kcells
         from ..kernel import pip as kpip
         from ..kernel import structrepr as sr
 
@@ -128,8 +124,27 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
             r[0]: sr.from_struct(r[1].asDict(recursive=False))
             for r in rows}
         bc = spark.sparkContext.broadcast(poly_map)
-        cover = F.broadcast(cover.drop(poly_geom))
-        cand = pts.join(cover, on=keys, how="inner")
+        # the cover comes from the SAME collected rows, computed with
+        # the kernel driver-side and broadcast as a literal frame: a
+        # distributed cover explode over decoded polygon expressions
+        # compiled seconds of janino codegen per query and shipped the
+        # deep parse tree into the plan for a 25-row dimension table
+        cover_rows = []
+        for r in rows:
+            bb = r[1]["bbox"]
+            if bb is None or len(bb) != 4:
+                continue
+            for cell in kcells.cover_bbox(bb[0], bb[1], bb[2], bb[3],
+                                          res):
+                cover_rows.append((r[0], cell))
+        key_type = dict(polys.dtypes)[poly_key]
+        cover = spark.createDataFrame(
+            cover_rows, f"{poly_key} {key_type}, cell bigint")
+        if salt > 0:
+            cover = cover.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0),
+                                              F.lit(salt - 1))))
+        cand = pts.join(F.broadcast(cover), on=keys, how="inner")
 
         @pandas_udf(BooleanType())
         def refine(zone: pd.Series, px: pd.Series,
@@ -150,6 +165,12 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
         drop = ["_inside", "cell"] + (["_salt"] if salt else [])
         return refined.where(F.col("_inside")).drop(*drop)
 
+    cover = explode_bbox_cover(
+        polys.select(poly_key, poly_geom),
+        res, bbox_col=f"{poly_geom}.bbox")
+    if salt > 0:
+        cover = cover.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     # the caller asserted the polygon side is too big to broadcast;
     # Catalyst's size estimate for the exploded cover is unreliable
     # (generate nodes), so pin the shuffle join here — AQE still
