@@ -175,6 +175,8 @@ def core_workload(spark, clones: int, core_only: bool = False):
     tg = emb.select(F.col("vec_id").alias("t_id"),
                     F.col("embedding").alias("tvec"))
     timed("ann_cosine", lambda: similarity.cosine_topk(q, tg, 5).count())
+    timed("ann_lsh_fast", lambda: similarity.ann_topk(
+        q, tg, 5, dim=64, bits=48, bands=16).count())
 
     n_pts = c["decode_points"]
     pts.unpersist()
