@@ -180,3 +180,36 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id",
                      "jaccard")
              .distinct())
     return pairs
+
+
+def near_dup_pipeline(df: DataFrame, key: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 16,
+                      bands: int = 4, shingle_w: int = 3, n: int = 3,
+                      threshold: float = 0.5, fast: bool = False,
+                      max_bucket: int = 1000) -> DataFrame:
+    """The 100 TB near-dup composition: MinHash-LSH candidate pairs ->
+    EXACT distinct-n-gram Jaccard verification.
+
+    LSH bounds the pair space (one shuffle, bucket-local); the exact
+    verify then touches only |candidates| rows — the shape an all-pairs
+    or purely-blocked exact join cannot reach at scale. Returns
+    (key_a, key_b, jaccard) for verified pairs >= threshold."""
+    cand = minhash_lsh_pairs(df, key, text_col, num_perm, bands,
+                             shingle_w, fast, max_bucket)
+    grams = f"array_distinct({th.char_ngrams(text_col, n, _D)})"
+    g = (df.select(key, text_col)
+         .withColumn("grams", F.expr(grams))
+         .withColumn("glen", F.expr("size(grams)"))
+         .drop(text_col))
+    a = g.select(F.col(key).alias(key + "_a"),
+                 F.col("grams").alias("_ga"), F.col("glen").alias("_la"))
+    b = g.select(F.col(key).alias(key + "_b"),
+                 F.col("grams").alias("_gb"), F.col("glen").alias("_lb"))
+    return (cand.join(a, on=key + "_a").join(b, on=key + "_b")
+            .withColumn("_inter", F.expr(
+                "size(array_intersect(_ga, _gb))"))
+            .withColumn("jaccard", F.expr(
+                "CAST(_inter AS DOUBLE) / "
+                "CAST(_la + _lb - _inter AS DOUBLE)"))
+            .where(F.col("jaccard") >= threshold)
+            .select(key + "_a", key + "_b", "jaccard"))

@@ -656,3 +656,46 @@ SELECT CAST((1767225600 + doc_id) // 3600 * 3600 AS BIGINT) AS win_start,
 FROM documents
 GROUP BY 1, 2
 """
+
+
+# LSH candidates -> exact n-gram Jaccard verify (the scale composition,
+# queries.q_near_dup): the candidate CTEs replicate minhash_pairs, the
+# verify reuses the exact gram arithmetic
+_ND_GRAMS = f"list_distinct({th.char_ngrams('text', 3, D)})"
+ORACLES["near_dup"] = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, replace(text, 'the ', '') FROM documents
+), sigs AS (
+  SELECT doc_id,
+         [{', '.join(_sig_sql('text', Q.NUM_PERM))}] AS sig
+  FROM docs WHERE length({th.tokens('text', D)}) > 0
+), buckets AS (
+  SELECT doc_id, band, {_band_case} AS bucket
+  FROM sigs, unnest(range(0, {Q.BANDS})) t(band)
+), kept AS (
+  SELECT * FROM buckets
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM kept a JOIN kept b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+), g AS (
+  SELECT doc_id, {_ND_GRAMS} AS grams,
+         length({_ND_GRAMS}) AS glen
+  FROM docs
+)
+SELECT c.doc_id_a, c.doc_id_b,
+  CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+    / CAST(a.glen + b.glen
+           - length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+    AS jaccard
+FROM cand c
+JOIN g a ON a.doc_id = c.doc_id_a
+JOIN g b ON b.doc_id = c.doc_id_b
+WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+    / CAST(a.glen + b.glen
+           - length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+    >= {sg.f64(Q.JACCARD_T)}
+"""

@@ -520,6 +520,16 @@ def q_ngram_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, threshold=JACCARD_T)
 
 
+def q_near_dup(spark, sf_dir):
+    """The scale composition: MinHash-LSH candidates -> exact
+    distinct-3-gram Jaccard verification, over documents + planted
+    near-duplicate mutants. LSH bounds the pair space; the verify is
+    exact — together the shape a 100 TB dedup actually runs."""
+    d = _docs_with_mutants(spark, sf_dir)
+    return dedup.near_dup_pipeline(d, num_perm=NUM_PERM, bands=BANDS,
+                                   threshold=JACCARD_T, fast=False)
+
+
 def q_ann_cosine(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = (e.where(F.col("vec_id") % QUERY_MOD == 0)
@@ -677,6 +687,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_sigs": q_minhash_sigs,
     "minhash_pairs": q_minhash_pairs,
+    "near_dup": q_near_dup,
     "simhash": q_simhash,
     "ngram_pairs": q_ngram_pairs,
     "ann_cosine": q_ann_cosine,
