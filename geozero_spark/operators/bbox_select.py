@@ -17,13 +17,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions import cols
 from ..functions import sqlgen as sg
 from ..kernel import cells as kcells
 
 
 def with_cell(df: DataFrame, lon: str, lat: str, res: int,
               out: str = "cell") -> DataFrame:
-    return df.withColumn(out, F.expr(sg.cell_id(lon, lat, res, sg.SPARK)))
+    return cols.with_cell_col(df, lon, lat, res, out=out)
 
 
 def write_cell_indexed(df: DataFrame, path: str, res: int,

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions import cols
 from ..functions import sqlgen as sg
 
 
@@ -266,9 +267,9 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     cell_h = 18000.0 / n  # centi-degrees per cell (latitude pitch)
     if max_radius is None:
         max_radius = n  # full sweep fallback
-    tgt = targets.withColumn(
-        "cell", F.expr(sg.cell_id(f"(({tx}) / 100.0e0)",
-                                  f"(({ty}) / 100.0e0)", res, sg.SPARK)))
+    tgt = cols.with_cell_col(
+        targets, F.col(tx) / F.lit(100.0), F.col(ty) / F.lit(100.0),
+        res, out="cell")
     tgt = tgt.persist()
     # materialize the query side once: upstream pipelines (pandas-UDF
     # decode etc.) must not re-run every expansion round

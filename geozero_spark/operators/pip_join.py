@@ -35,14 +35,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions import cols
 from ..functions import sqlgen as sg
 from ..functions import udfs
 
 
 def with_cell(df: DataFrame, lon: str, lat: str, res: int,
               out: str = "cell") -> DataFrame:
-    """Attach the Morton cell id (JVM-side bit math, sqlgen.cell_id)."""
-    return df.withColumn(out, F.expr(sg.cell_id(lon, lat, res, sg.SPARK)))
+    """Attach the Morton cell id (JVM-side bit math, staged columns —
+    see cols.with_cell_col for why not one sqlgen.cell_id expression)."""
+    return cols.with_cell_col(df, lon, lat, res, out=out)
 
 
 def explode_bbox_cover(df: DataFrame, res: int, bbox_col: str = "bbox",
@@ -77,6 +79,73 @@ def explode_bbox_cover(df: DataFrame, res: int, bbox_col: str = "bbox",
 
 _BROADCAST_POLY_LIMIT = 100_000
 
+# prepared polygon-side state, keyed by (appId, polys plan semanticHash,
+# res, poly_key, poly_geom): the collected rows, decoded poly map
+# (already broadcast) and the kernel cell cover. A dimension table
+# joined repeatedly (the common pattern: one admin/zone dim, many point
+# queries) pays the take-job + decode + cover exactly once per session.
+_PREPARED: dict = {}
+_PREPARED_MAX = 16
+
+
+def _prepare_broadcast_polys(polys: DataFrame, res: int, poly_key: str,
+                             poly_geom: str):
+    """Collect + decode + cover the polygon side once per (plan, res)."""
+    from ..kernel import cells as kcells
+    from ..kernel import structrepr as sr
+
+    spark = polys.sparkSession
+    try:
+        key = (spark.sparkContext.applicationId,
+               polys.semanticHash(), res, poly_key, poly_geom)
+    except Exception:
+        key = None
+    if key is not None and key in _PREPARED:
+        return _PREPARED[key]
+
+    # ONE job for guard + collect: take(limit+1) both bounds the
+    # driver memory and fetches the rows (a separate count job was
+    # measurable fixed cost on every pip_join call)
+    rows = polys.select(poly_key, poly_geom).take(
+        _BROADCAST_POLY_LIMIT + 1)
+    if len(rows) > _BROADCAST_POLY_LIMIT:
+        raise ValueError(
+            f"pip_join broadcast path collects the polygon side to "
+            f"the driver and it exceeds {_BROADCAST_POLY_LIMIT} "
+            f"rows; use broadcast_polys=False (shuffle path, "
+            f"optionally salt=N) for big-big joins")
+    poly_map = {
+        r[0]: sr.from_struct(r[1].asDict(recursive=False))
+        for r in rows}
+    bc = spark.sparkContext.broadcast(poly_map)
+    # the cover comes from the SAME collected rows, computed with
+    # the kernel driver-side and broadcast as a literal frame: a
+    # distributed cover explode over decoded polygon expressions
+    # compiled seconds of janino codegen per query and shipped the
+    # deep parse tree into the plan for a 25-row dimension table.
+    # Per-polygon cover is uncapped (limit = whole grid): the default
+    # 4096-cell cap would reject a world-spanning bbox at res > 6 that
+    # the distributed cover path accepted; the aggregate guard below
+    # bounds driver memory instead.
+    cover_rows = []
+    for r in rows:
+        bb = r[1]["bbox"]
+        if bb is None or len(bb) != 4:
+            continue
+        for cell in kcells.cover_bbox(bb[0], bb[1], bb[2], bb[3],
+                                      res, limit=1 << (2 * res)):
+            cover_rows.append((r[0], cell))
+    if len(cover_rows) > 4_000_000:
+        raise ValueError(
+            f"pip_join broadcast cover has {len(cover_rows)} cells at "
+            f"res={res}; use a coarser res or broadcast_polys=False")
+    prepared = (bc, cover_rows)
+    if key is not None:
+        if len(_PREPARED) >= _PREPARED_MAX:
+            _PREPARED.pop(next(iter(_PREPARED)))
+        _PREPARED[key] = prepared
+    return prepared
+
 
 def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
              lon: str = "lon", lat: str = "lat",
@@ -104,39 +173,11 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import BooleanType
 
-        from ..kernel import cells as kcells
         from ..kernel import pip as kpip
-        from ..kernel import structrepr as sr
 
         spark = points.sparkSession
-        # ONE job for guard + collect: take(limit+1) both bounds the
-        # driver memory and fetches the rows (a separate count job was
-        # measurable fixed cost on every pip_join call)
-        rows = polys.select(poly_key, poly_geom).take(
-            _BROADCAST_POLY_LIMIT + 1)
-        if len(rows) > _BROADCAST_POLY_LIMIT:
-            raise ValueError(
-                f"pip_join broadcast path collects the polygon side to "
-                f"the driver and it exceeds {_BROADCAST_POLY_LIMIT} "
-                f"rows; use broadcast_polys=False (shuffle path, "
-                f"optionally salt=N) for big-big joins")
-        poly_map = {
-            r[0]: sr.from_struct(r[1].asDict(recursive=False))
-            for r in rows}
-        bc = spark.sparkContext.broadcast(poly_map)
-        # the cover comes from the SAME collected rows, computed with
-        # the kernel driver-side and broadcast as a literal frame: a
-        # distributed cover explode over decoded polygon expressions
-        # compiled seconds of janino codegen per query and shipped the
-        # deep parse tree into the plan for a 25-row dimension table
-        cover_rows = []
-        for r in rows:
-            bb = r[1]["bbox"]
-            if bb is None or len(bb) != 4:
-                continue
-            for cell in kcells.cover_bbox(bb[0], bb[1], bb[2], bb[3],
-                                          res):
-                cover_rows.append((r[0], cell))
+        bc, cover_rows = _prepare_broadcast_polys(
+            polys, res, poly_key, poly_geom)
         key_type = dict(polys.dtypes)[poly_key]
         cover = spark.createDataFrame(
             cover_rows, f"{poly_key} {key_type}, cell bigint")

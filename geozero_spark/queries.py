@@ -288,19 +288,20 @@ def q_raster_content(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_cell_assign(spark, sf_dir):
-    pts = points_df(spark, sf_dir)
-    cell = sg.cell_id("lon", "lat", CELL_RES, sg.SPARK)
-    parent = sg.cell_parent(cell, CELL_RES, CELL_RES - CELL_RES_COARSE,
-                            sg.SPARK)
-    return pts.select("url",
-                      F.expr(cell).alias("cell"),
+    # staged Morton columns (cols.with_cell_col) — value-identical to
+    # the sg.cell_id text the oracle runs, ~4x cheaper cold plan cost
+    pts = cols.with_cell_col(points_df(spark, sf_dir),
+                             "lon", "lat", CELL_RES, out="cell")
+    parent = sg.cell_parent("cell", CELL_RES,
+                            CELL_RES - CELL_RES_COARSE, sg.SPARK)
+    return pts.select("url", "cell",
                       F.expr(parent).alias("cell_coarse"))
 
 
 def q_cell_counts(spark, sf_dir):
-    pts = points_df(spark, sf_dir)
-    cell = sg.cell_id("lon", "lat", CELL_RES_COARSE, sg.SPARK)
-    return (pts.groupBy(F.expr(cell).alias("cell"))
+    pts = cols.with_cell_col(points_df(spark, sf_dir),
+                             "lon", "lat", CELL_RES_COARSE, out="cell")
+    return (pts.groupBy("cell")
             .agg(F.count("*").alias("n_pages"),
                  F.countDistinct("lang").alias("n_langs")))
 
@@ -612,14 +613,14 @@ def q_streaming_cell_counts(spark, sf_dir):
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(sdir)
     dec = udfs.st_pointfromtext()
-    cell = sg.cell_id("lon", "lat", CELL_RES_COARSE, sg.SPARK)
     pts = (stream
            .selectExpr(f"{P.URL} AS url", f"{P.TEXT} AS text")
            .withColumn("geom",
                        dec(F.regexp_extract("text", LOC_RE, 1)))
            .withColumn("lon", cols.point_x(F.col("geom")) / F.lit(100.0))
-           .withColumn("lat", cols.point_y(F.col("geom")) / F.lit(100.0))
-           .withColumn("cell", F.expr(cell)))
+           .withColumn("lat", cols.point_y(F.col("geom")) / F.lit(100.0)))
+    pts = cols.with_cell_col(pts, "lon", "lat", CELL_RES_COARSE,
+                             out="cell")
     agg = pts.groupBy("cell").agg(F.count("*").alias("n_pages"))
     name = "cells_" + uuid.uuid4().hex[:8]
     q = (agg.writeStream.format("memory").queryName(name)

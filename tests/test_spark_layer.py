@@ -419,3 +419,44 @@ def test_read_shp_features_with_dbf(spark):
     # shapefiles without a .dbf sibling keep NULL props
     others = [r for r in df.collect() if r.path.endswith("line.shp")]
     assert others and all(r.props is None for r in others)
+
+
+def test_staged_cell_col_matches_kernel_and_sqlgen(spark):
+    """cols.with_cell_col (staged Morton columns) is bit-identical to
+    kernel.cells.cell_id AND to the single-expression sqlgen.cell_id
+    text the DuckDB oracles run — including clamp boundaries."""
+    from geozero_spark.functions import cols, sqlgen as sg
+    from geozero_spark.kernel import cells as kc
+    from pyspark.sql import functions as F
+
+    lons = [-180.0, -179.99, -30.5, -0.01, 0.0, 0.01, 33.33, 179.99,
+            180.0, 181.0, -181.0]
+    lats = [-90.0, -89.99, -45.5, 0.0, 0.25, 45.75, 89.99, 90.0, 91.0]
+    rows = [(lo, la) for lo in lons for la in lats]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    for res in (4, 6, 8):
+        got = (cols.with_cell_col(df, "lon", "lat", res)
+               .withColumn("cell_sql",
+                           F.expr(sg.cell_id("lon", "lat", res,
+                                             sg.SPARK)))
+               .collect())
+        for r in got:
+            want = kc.cell_id(r["lon"], r["lat"], res)
+            assert r["cell"] == want, (r["lon"], r["lat"], res)
+            assert r["cell_sql"] == want
+
+
+def test_staged_cell_col_column_inputs(spark):
+    """with_cell_col accepts Column expressions (the kNN grid path
+    feeds centi-degree coords divided on the fly)."""
+    from geozero_spark.functions import cols
+    from geozero_spark.kernel import cells as kc
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1234, -5678), (0, 0), (17999, 8999)],
+                               "xc long, yc long")
+    got = cols.with_cell_col(
+        df, F.col("xc") / F.lit(100.0), F.col("yc") / F.lit(100.0),
+        5, out="c").collect()
+    for r in got:
+        assert r["c"] == kc.cell_id(r["xc"] / 100.0, r["yc"] / 100.0, 5)
