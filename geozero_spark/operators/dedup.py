@@ -182,6 +182,83 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id",
     return pairs
 
 
+def connected_components(pairs: DataFrame, a_col: str, b_col: str,
+                         max_rounds: int = 25) -> DataFrame:
+    """Connected components over undirected pairs via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — the pairs->clusters step of a dedup
+    pipeline. Returns (node, comp) for every node that appears in a
+    pair, comp = MIN node id of its component.
+
+    Scale shape: each half-round is one groupBy-min + one equi-join —
+    the adjacency is never materialized as a list (collect_set on a hot
+    node would put a whole component in one row), and a hot node costs
+    a map-side-combinable min-agg. Rounds are O(log n); the driver loop
+    is over ROUNDS (bounded by ``max_rounds``), never over rows — the
+    only driver-side values are the per-round convergence fingerprints
+    (count + hash-sum, one tiny agg job).
+    """
+    u, v = "u", "v"
+    e = (pairs.select(F.col(a_col).cast("long").alias(u),
+                      F.col(b_col).cast("long").alias(v))
+         .where(F.col(u) != F.col(v))
+         .select(F.greatest(u, v).alias(u), F.least(u, v).alias(v))
+         .distinct())
+    prev_fp = None
+    for _ in range(max_rounds):
+        # large-star: every neighbor v > u links to m(u) = min(N(u), u)
+        sym = e.union(e.select(F.col(v).alias(u), F.col(u).alias(v)))
+        mins = sym.groupBy(u).agg(F.min(v).alias("_mn"))
+        mins = mins.withColumn("_m", F.least(F.col(u), F.col("_mn")))
+        e = (sym.join(mins.select(u, "_m"), on=u)
+             .where(F.col(v) > F.col(u))
+             .select(F.col(v).alias(u), F.col("_m").alias(v))
+             .distinct())
+        # small-star: for canonical (h > l) edges, every l (and h)
+        # links to m(h) = min over h's low neighbors
+        mins = e.groupBy(u).agg(F.min(v).alias("_m"))
+        withm = e.join(mins, on=u)
+        e = (withm.select(F.col(u), F.col("_m").alias(v))
+             .union(withm.where(F.col(v) != F.col("_m"))
+                    .select(F.col(v).alias(u), F.col("_m").alias(v)))
+             .distinct())
+        # truncate lineage EVERY round: sym references e twice, so the
+        # logical plan otherwise doubles per round — analysis alone
+        # goes exponential by round ~10 (measured: plan treeString
+        # blow-up long before any data size problem)
+        e = e.localCheckpoint(eager=True)
+        fp = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr(f"bit_xor(xxhash64({u}, {v}))"),
+                       F.lit(0)).alias("h")
+        ).collect()[0]
+        fp = (fp["n"], fp["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged state is a forest of stars: (h -> root) edges plus the
+    # roots themselves
+    return (e.select(F.col(u).alias("node"), F.col(v).alias("comp"))
+            .union(e.select(F.col(v).alias("node"),
+                            F.col(v).alias("comp")))
+            .distinct())
+
+
+def dup_clusters(docs: DataFrame, pairs: DataFrame,
+                 key: str = "doc_id") -> DataFrame:
+    """Per-document cluster assignment + keep/drop decision from
+    near-dup pairs: cluster_id = min key of the connected component
+    (itself for unpaired docs), keep = (key == cluster_id) — the
+    canonical-survivor policy of a training-data dedup."""
+    assign = connected_components(pairs, key + "_a", key + "_b")
+    return (docs.select(F.col(key).cast("long").alias(key))
+            .join(assign.withColumnRenamed("node", key),
+                  on=key, how="left")
+            .select(F.col(key),
+                    F.coalesce("comp", F.col(key)).alias("cluster_id"))
+            .withColumn("keep", F.col(key) == F.col("cluster_id")))
+
+
 def near_dup_pipeline(df: DataFrame, key: str = "doc_id",
                       text_col: str = "text", num_perm: int = 16,
                       bands: int = 4, shingle_w: int = 3, n: int = 3,

@@ -645,7 +645,8 @@ ORACLES["shp_decode"] = """
 SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS recno,
        CAST(xc AS BIGINT) AS x_c, CAST(yc AS BIGINT) AS y_c
 FROM (SELECT doc_id,
-""" + f"{P.LON_C} AS xc, {P.LAT_C} AS yc FROM documents)"
+""" + (f"{P.LON_C} AS xc, {P.LAT_C} AS yc FROM documents "
+       f"ORDER BY doc_id LIMIT {Q.SHP_FIXTURE_CAP})")
 
 
 # event-time tumbling window: warc_ts = epoch + doc_id seconds; the
@@ -662,8 +663,9 @@ GROUP BY 1, 2
 # queries.q_near_dup): the candidate CTEs replicate minhash_pairs, the
 # verify reuses the exact gram arithmetic
 _ND_GRAMS = f"list_distinct({th.char_ngrams('text', 3, D)})"
-ORACLES["near_dup"] = f"""
-WITH docs AS (
+# CTE body shared by near_dup and dup_clusters (the clusters oracle
+# appends a recursive closure over the verified pair set)
+_ND_CTES = f"""docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 10000, replace(text, 'the ', '') FROM documents
@@ -685,17 +687,47 @@ WITH docs AS (
   SELECT doc_id, {_ND_GRAMS} AS grams,
          length({_ND_GRAMS}) AS glen
   FROM docs
+), verified AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+    CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / CAST(a.glen + b.glen
+             - length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      AS jaccard
+  FROM cand c
+  JOIN g a ON a.doc_id = c.doc_id_a
+  JOIN g b ON b.doc_id = c.doc_id_b
+  WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / CAST(a.glen + b.glen
+             - length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      >= {sg.f64(Q.JACCARD_T)}
+)"""
+
+ORACLES["near_dup"] = (
+    "WITH " + _ND_CTES
+    + "\nSELECT doc_id_a, doc_id_b, jaccard FROM verified")
+
+
+# pairs -> connected components -> per-doc cluster id (= MIN doc_id of
+# the component) + canonical-survivor keep flag. The oracle computes
+# the transitive closure over the SAME verified pair set with a
+# recursive CTE (fine at oracle scale; the engine runs O(log n)
+# large-star/small-star rounds instead — operators/dedup.py).
+ORACLES["dup_clusters"] = (
+    "WITH RECURSIVE " + _ND_CTES + """,
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM verified
+  UNION
+  SELECT doc_id_b, doc_id_a FROM verified
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 )
-SELECT c.doc_id_a, c.doc_id_b,
-  CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
-    / CAST(a.glen + b.glen
-           - length(list_intersect(a.grams, b.grams)) AS DOUBLE)
-    AS jaccard
-FROM cand c
-JOIN g a ON a.doc_id = c.doc_id_a
-JOIN g b ON b.doc_id = c.doc_id_b
-WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
-    / CAST(a.glen + b.glen
-           - length(list_intersect(a.grams, b.grams)) AS DOUBLE)
-    >= {sg.f64(Q.JACCARD_T)}
-"""
+SELECT d.doc_id,
+       CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+         AS cluster_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) = d.doc_id AS keep
+FROM docs d
+LEFT JOIN reach r ON r.u = d.doc_id
+GROUP BY d.doc_id
+""")

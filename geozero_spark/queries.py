@@ -388,6 +388,36 @@ def q_mvt_content(spark, sf_dir):
                     F.col("s.sy_sum").alias("sy_sum")))
 
 
+SHP_FIXTURE_CAP = 10_000
+
+
+def _write_point_shp_executor(src: DataFrame, path: str) -> None:
+    """Write a Point shapefile from ONE executor task (mapInPandas over
+    a single sorted partition): the row slice never transits the
+    driver. The cap bounds task memory; writes go to a temp file then
+    rename, so a killed task never leaves a half-written fixture."""
+    import os
+
+    def write_part(batches):
+        import pandas as pd
+
+        from geozero_spark.kernel import shp as kshp
+        from geozero_spark.kernel.model import POINT, Geom
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values("doc_id")
+        buf = kshp.encode([Geom(POINT, (float(x), float(y)))
+                           for x, y in zip(pdf["xc"], pdf["yc"])])
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, path)
+        yield pd.DataFrame({"n": [len(pdf)]})
+
+    (src.coalesce(1).sortWithinPartitions("doc_id")
+        .mapInPandas(write_part, "n long").count())
+
+
 def q_shp_decode(spark, sf_dir):
     """Shapefile reader through the Spark layer: a Point shapefile is
     materialized deterministically from the synthetic points (kernel
@@ -397,23 +427,23 @@ def q_shp_decode(spark, sf_dir):
     import hashlib
     import os
 
-    from .kernel import shp as kshp
-    from .kernel.model import POINT, Geom
     from .sources import readers
 
     P.register_views(spark, sf_dir)
-    rows = spark.sql(
-        f"SELECT doc_id, {P.LON_C} AS xc, {P.LAT_C} AS yc "
-        f"FROM documents ORDER BY doc_id").collect()
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
     d = f"/tmp/gz_shp_{tag}"
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "points.shp")
     if not os.path.exists(path):
-        buf = kshp.encode([Geom(POINT, (float(r.xc), float(r.yc)))
-                           for r in rows])
-        with open(path, "wb") as f:
-            f.write(buf)
+        # fixture write stays OFF the driver: a shapefile is a single
+        # sequential container, so it is written by ONE executor task
+        # over a deterministically capped slice (first SHP_FIXTURE_CAP
+        # doc_ids) — never an O(table) driver collect. On a real
+        # cluster the target path must be shared storage.
+        src = spark.sql(
+            f"SELECT doc_id, {P.LON_C} AS xc, {P.LAT_C} AS yc "
+            f"FROM documents ORDER BY doc_id LIMIT {SHP_FIXTURE_CAP}")
+        _write_point_shp_executor(src, path)
     out = readers.read_shp(spark, d)
     return out.select(
         (F.col("record_idx") + 1).cast("int").alias("recno"),
@@ -529,6 +559,18 @@ def q_near_dup(spark, sf_dir):
     d = _docs_with_mutants(spark, sf_dir)
     return dedup.near_dup_pipeline(d, num_perm=NUM_PERM, bands=BANDS,
                                    threshold=JACCARD_T, fast=False)
+
+
+def q_dup_clusters(spark, sf_dir):
+    """The step after near-dup pairs that a training pipeline actually
+    consumes: connected components (alternating large-star/small-star,
+    O(log n) rounds, no driver loop over rows) -> per-doc cluster id
+    (MIN doc_id of the component) + keep flag for the canonical
+    survivor. Unpaired docs are their own singleton cluster."""
+    d = _docs_with_mutants(spark, sf_dir)
+    pairs = dedup.near_dup_pipeline(d, num_perm=NUM_PERM, bands=BANDS,
+                                    threshold=JACCARD_T, fast=False)
+    return dedup.dup_clusters(d, pairs)
 
 
 def q_ann_cosine(spark, sf_dir):
@@ -689,6 +731,7 @@ QUERIES = {
     "minhash_sigs": q_minhash_sigs,
     "minhash_pairs": q_minhash_pairs,
     "near_dup": q_near_dup,
+    "dup_clusters": q_dup_clusters,
     "simhash": q_simhash,
     "ngram_pairs": q_ngram_pairs,
     "ann_cosine": q_ann_cosine,
