@@ -26,6 +26,15 @@ def make_session(app: str = "geozero-spark", cpus: int | None = None,
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         # keep AQE's parallelism-first coalescing, but drop the 1MB
+         # min-partition floor to 64k: a CPU-bound pandas-UDF stage
+         # (PIP refine, kNN top-k) downstream of a small-by-bytes
+         # shuffle otherwise collapses to a handful of Python workers
+         # (measured 3.4x on the pip_join shuffle path). At production
+         # partition sizes the parallelism-first target dominates and
+         # this floor is never the binding constraint.
+         .config("spark.sql.adaptive.coalescePartitions."
+                 "minPartitionSize", "64k")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
