@@ -95,6 +95,25 @@ def _warm_session(spark, cpus: int) -> None:
     (big.join(F.broadcast(dim), on="id", how="left")
         .withColumn("_k", _warm("id")).where(F.col("_k")).count())
 
+    # ... and the other Python-stage machineries (MapInPandas,
+    # cogrouped FlatMapCoGroupsInPandas, window) — each stage type
+    # classloads/compiles its own runner on first use
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    big.mapInPandas(_ident, "id long").count()
+
+    def _co(left, right):
+        return left
+
+    (big.withColumn("g", F.col("id") % 2).groupBy("g")
+        .cogroup(dim.withColumn("g", F.col("id") % 2).groupBy("g"))
+        .applyInPandas(_co, "id long, g long").count())
+    from pyspark.sql import Window as _W
+    (dim.withColumn("r", F.row_number().over(
+        _W.partitionBy("tag").orderBy("id"))).count())
+
 
 def core_workload(spark, clones: int, core_only: bool = False):
     """North-rule workload; returns (timings dict, counts dict)."""

@@ -93,6 +93,24 @@ def with_cell_col(df: DataFrame, lon: Column | str, lat: Column | str,
     return df.drop("__gz_ix", "__gz_iy", "__gz_sx", "__gz_sy")
 
 
+def with_cell_from_ixiy(df: DataFrame, ix: Column | str,
+                        iy: Column | str, res: int,
+                        out: str = "cell") -> DataFrame:
+    """Morton cell id from ALREADY-COMPUTED integer grid coords, staged
+    like with_cell_col (kernel.cells.make_cell / sqlgen.make_cell
+    parity). For cover/disk explodes whose ix/iy come from their own
+    expressions (e.g. pmod-wrapped offsets)."""
+    ixc = F.col(ix) if isinstance(ix, str) else ix
+    iyc = F.col(iy) if isinstance(iy, str) else iy
+    df = (df.withColumn("__gz_ix", ixc.cast("bigint"))
+          .withColumn("__gz_iy", iyc.cast("bigint")))
+    df = _spread_staged(df, F.col("__gz_ix"), "__gz_sx")
+    df = _spread_staged(df, F.col("__gz_iy"), "__gz_sy")
+    df = df.withColumn(out, F.lit(res << _RES_SHIFT).bitwiseOR(
+        F.col("__gz_sx").bitwiseOR(F.shiftleft(F.col("__gz_sy"), 1))))
+    return df.drop("__gz_ix", "__gz_iy", "__gz_sx", "__gz_sy")
+
+
 def point_x(geom: Column) -> Column:
     return F.element_at(geom["coords"], 1)
 

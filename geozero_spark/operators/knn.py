@@ -48,16 +48,18 @@ def _disk_cells(df: DataFrame, xc: str, yc: str, res: int, radius: int,
     x_hi = x_lo + x_span - 1
     jx = f"pmod(ix + dx, {n})"
     jy = "(iy + dy)"
-    cell = sg.make_cell(jx, jy, res, d)
-    return (df
-            .withColumn("ix", F.expr(ix)).withColumn("iy", F.expr(iy))
-            .withColumn("dx", F.expr(
-                f"explode(sequence({x_lo}, {x_hi}))"))
-            .withColumn("dy", F.expr(
-                f"explode(sequence({-radius}, {radius}))"))
-            .where(F.expr(f"{jy} >= 0 AND {jy} < {n}"))
-            .withColumn(out, F.expr(cell))
-            .drop("ix", "iy", "dx", "dy"))
+    out_df = (df
+              .withColumn("ix", F.expr(ix)).withColumn("iy", F.expr(iy))
+              .withColumn("dx", F.expr(
+                  f"explode(sequence({x_lo}, {x_hi}))"))
+              .withColumn("dy", F.expr(
+                  f"explode(sequence({-radius}, {radius}))"))
+              .where(F.expr(f"{jy} >= 0 AND {jy} < {n}")))
+    # staged Morton assembly over the wrapped grid coords (the textual
+    # make_cell form costs seconds of cold parse+codegen per plan)
+    out_df = cols.with_cell_from_ixiy(out_df, F.expr(jx), F.expr(jy),
+                                      res, out=out)
+    return out_df.drop("ix", "iy", "dx", "dy")
 
 
 def auto_res(n_targets: int, per_cell: int = 200) -> int:
@@ -69,6 +71,35 @@ def auto_res(n_targets: int, per_cell: int = 200) -> int:
     if n_targets <= per_cell:
         return 2
     return max(2, min(12, round(math.log2(n_targets / per_cell) / 2)))
+
+
+def _select_topk(d2, kk: int, big: int):
+    """Exact per-row top-k selection by (dist2, target-column-order).
+
+    Columns MUST be pre-sorted by target key ascending. Fast path:
+    argpartition + stable sort of the kk-subset. argpartition picks an
+    ARBITRARY subset when more than kk candidates tie exactly at the
+    kk-th distance, so rows with a real boundary tie (kth < big and
+    more than kk candidates <= kth) are re-done with a full stable
+    argsort — rare, exact, and rows whose ties are all at ``big``
+    (self-exclusion filler) never need it because those rows are
+    dropped by the keep mask anyway. Returns (sel, d2o): column
+    indices and distances, each (rows, kk)."""
+    import numpy as np
+
+    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+    part = np.sort(part, axis=1)  # ascending target key
+    d2s = np.take_along_axis(d2, part, axis=1)
+    order = np.argsort(d2s, axis=1, kind="stable")
+    sel = np.take_along_axis(part, order, axis=1)
+    d2o = np.take_along_axis(d2s, order, axis=1)
+    kth = d2o[:, -1]
+    bad = (kth < big) & ((d2 <= kth[:, None]).sum(axis=1) > kk)
+    for r in np.nonzero(bad)[0]:
+        full = np.argsort(d2[r], kind="stable")[:kk]
+        sel[r] = full
+        d2o[r] = d2[r][full]
+    return sel, d2o
 
 
 def _cell_local_topk(disks: DataFrame, tgt: DataFrame, k: int,
@@ -109,12 +140,7 @@ def _cell_local_topk(disks: DataFrame, tgt: DataFrame, k: int,
                 same = qid[s:e, None] == tid[None, :]
                 d2 = np.where(same, big, d2)
             kk = min(k, d2.shape[1])
-            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-            part = np.sort(part, axis=1)  # ascending target key
-            d2s = np.take_along_axis(d2, part, axis=1)
-            order = np.argsort(d2s, axis=1, kind="stable")
-            sel = np.take_along_axis(part, order, axis=1)
-            d2o = np.take_along_axis(d2s, order, axis=1)
+            sel, d2o = _select_topk(d2, kk, big)
             keep = (d2o != big).ravel()
             out_q.append(np.repeat(qid[s:e], kk)[keep])
             out_t.append(tid[sel.ravel()[keep]])
@@ -202,12 +228,7 @@ def knn_join_broadcast(queries: DataFrame, targets: DataFrame, k: int,
                                     out=sameb[:m])
                     np.copyto(d2, big, where=same)
                 kk = min(k, d2.shape[1])
-                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                part = np.sort(part, axis=1)  # ascending target key
-                d2s = np.take_along_axis(d2, part, axis=1)
-                order = np.argsort(d2s, axis=1, kind="stable")
-                sel = np.take_along_axis(part, order, axis=1)
-                d2o = np.take_along_axis(d2s, order, axis=1)
+                sel, d2o = _select_topk(d2, kk, big)
                 keep = (d2o != big).ravel()
                 out_q.append(np.repeat(qid[s:e], kk)[keep])
                 out_t.append(tid[sel.ravel()[keep]])
@@ -278,6 +299,7 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     settled_parts = []
     radius = 1
     to_unpersist = [remaining, tgt]
+    keep_cached = []
     while True:
         # cell-cogrouped local top-k: instead of materializing the full
         # (query x cell-targets) pair set through a shuffle+sort (hot
@@ -288,43 +310,55 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
         disks = _disk_cells(remaining, qx, qy, res, radius)
         cand = _cell_local_topk(disks, tgt, k, query_key, target_key,
                                 qx, qy, tx, ty, exclude_self)
+        # the settle check rides the SAME window partitioning as the
+        # rank (one shuffle, no separate agg+semijoin jobs): a query is
+        # settled when it has k hits and its k-th distance beats the
+        # disk guarantee (strict <: a point just outside the disk can
+        # sit at exactly the guarantee distance and deserves a
+        # tie-break comparison)
         w = Window.partitionBy(query_key).orderBy("dist2", target_key)
+        wq = Window.partitionBy(query_key)
+        guarantee = (radius * cell_h) ** 2
         topk = (cand
                 .withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k)).persist()
-        to_unpersist.append(topk)
-        guarantee = (radius * cell_h) ** 2
-        agg = (topk.groupBy(query_key)
-               .agg(F.count("*").alias("_n"),
-                    F.max("dist2").alias("_kth")))
+                .where(F.col("rank") <= k))
         if radius >= max_radius:
-            settled_keys = agg.select(query_key)  # final sweep: take all
+            topk = topk.withColumn("_settled", F.lit(True))
         else:
-            # strict <: a point just outside the disk can sit at exactly
-            # the guarantee distance and deserves a tie-break comparison
-            settled_keys = agg.where(
-                (F.col("_n") >= k) & (F.col("_kth") < F.lit(guarantee))
-            ).select(query_key)
-        settled_keys = settled_keys.persist()
-        to_unpersist.append(settled_keys)
-        n_settled = settled_keys.count()
-        part = topk.join(F.broadcast(settled_keys), on=query_key,
-                         how="leftsemi")
+            topk = topk.withColumn(
+                "_settled",
+                (F.count("*").over(wq) >= k) &
+                (F.max("dist2").over(wq) < F.lit(guarantee)))
+        topk = topk.persist()
+        keep_cached.append(topk)
+        # ONE job per round: materialize + count settled queries
+        n_settled = (topk.where("_settled").select(query_key)
+                     .distinct().count())
         settled_parts.append(
-            part.select(query_key, target_key, "dist2", "rank"))
+            topk.where("_settled")
+            .select(query_key, target_key, "dist2", "rank"))
         n_remaining -= n_settled
         if radius >= max_radius or n_remaining <= 0:
             break
+        settled_keys = topk.where("_settled").select(query_key).distinct()
         remaining = remaining.join(F.broadcast(settled_keys),
                                    on=query_key, how="left_anti").persist()
         to_unpersist.append(remaining)
         radius *= 2
+    if len(settled_parts) == 1:
+        # common case: everything settled in round 1 — the output is a
+        # filter over the already-cached round frame; no extra
+        # materialization pass needed (upstream caches may be released:
+        # the result is served from the round cache)
+        for df in to_unpersist:
+            df.unpersist()
+        return settled_parts[0]
     out = settled_parts[0]
     for p in settled_parts[1:]:
         out = out.unionByName(p)
     # materialize the result before releasing intermediate caches
     out = out.persist()
     out.count()
-    for df in to_unpersist:
+    for df in to_unpersist + keep_cached:
         df.unpersist()
     return out

@@ -66,14 +66,18 @@ def explode_bbox_cover(df: DataFrame, res: int, bbox_col: str = "bbox",
     ix1 = gi(f"element_at({bbox_col}, 3)", 360.0, 180.0)
     iy0 = gi(f"element_at({bbox_col}, 2)", 180.0, 90.0)
     iy1 = gi(f"element_at({bbox_col}, 4)", 180.0, 90.0)
-    cell = sg.make_cell("ix", "iy", res, d)
-    return (df
-            # empty geometries carry bbox=[]; under ANSI element_at
-            # would fail the whole job instead of skipping the feature
-            .where(F.expr(f"size({bbox_col}) = 4"))
-            .withColumn("ix", F.expr(f"explode(sequence({ix0}, {ix1}))"))
-            .withColumn("iy", F.expr(f"explode(sequence({iy0}, {iy1}))"))
-            .withColumn(out, F.expr(cell))
+    from ..functions import cols as _cols
+    out_df = (df
+              # empty geometries carry bbox=[]; under ANSI element_at
+              # would fail the whole job instead of skipping the feature
+              .where(F.expr(f"size({bbox_col}) = 4"))
+              .withColumn("ix",
+                          F.expr(f"explode(sequence({ix0}, {ix1}))"))
+              .withColumn("iy",
+                          F.expr(f"explode(sequence({iy0}, {iy1}))")))
+    # staged Morton assembly (cols.with_cell_from_ixiy) — the textual
+    # make_cell form costs seconds of cold parse+codegen per plan
+    return (_cols.with_cell_from_ixiy(out_df, "ix", "iy", res, out=out)
             .drop("ix", "iy"))
 
 

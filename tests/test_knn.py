@@ -78,3 +78,23 @@ def test_knn_exclude_self_and_ties(spark):
     for method in ("grid", "broadcast"):
         got = run_knn(spark, qrows, trows, k=2, res=3, method=method)
         assert got == [(5, 7, 10000, 1), (5, 8, 10000, 2)], method
+
+
+def test_knn_boundary_tie_explosion(spark):
+    """More than k targets tie EXACTLY at the k-th distance (a ring of
+    equidistant points): argpartition alone picks an arbitrary subset,
+    so this pins the _select_topk tie widening — the winners must be
+    the lowest target keys at the tied distance, on BOTH paths."""
+    # query at origin; 6 targets all at dist2 = 100^2, keys shuffled
+    qrows = [(1, 0, 0)]
+    trows = [(37, 100, 0), (12, -100, 0), (99, 0, 100), (5, 0, -100),
+             (64, 60, 80), (21, -60, -80), (88, 500, 500)]
+    want = brute_topk(qrows, trows, k=3, exclude_self=False)
+    q = spark.createDataFrame(qrows, "q_id long, qx long, qy long")
+    t = spark.createDataFrame(trows, "t_id long, tx long, ty long")
+    for method in ("grid", "broadcast"):
+        got = sorted(
+            (r["q_id"], r["t_id"], r["dist2"], r["rank"])
+            for r in knn_join(q, t, k=3, res=2, exclude_self=False,
+                              method=method).collect())
+        assert got == sorted(want), method
