@@ -460,3 +460,64 @@ def test_staged_cell_col_column_inputs(spark):
         5, out="c").collect()
     for r in got:
         assert r["c"] == kc.cell_id(r["xc"] / 100.0, r["yc"] / 100.0, 5)
+
+
+def test_streaming_append_restart_exactly_once(spark, tmpdir_path):
+    """Kill-and-restart over a checkpoint: the append-mode windowed
+    file sink must (a) only emit windows finalized by the watermark,
+    (b) emit nothing on an empty restart, and (c) after new data
+    arrives, emit newly finalized windows WITHOUT re-emitting earlier
+    ones — exactly-once across restarts."""
+    import os
+
+    from pyspark.sql import functions as F
+    from geozero_spark.streaming.windowed import windowed_counts_file_sink
+
+    base = 1_700_000_000  # aligned enough: windows are 1h tumbling
+    base -= base % 3600
+    in_dir = os.path.join(tmpdir_path, "in")
+    out_dir = os.path.join(tmpdir_path, "out")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, "ts_s long, lang string")
+        (df.select(F.col("ts_s").cast("timestamp").alias("ts"), "lang")
+           .coalesce(1).write.mode("append").parquet(in_dir))
+
+    def run_once():
+        schema = spark.read.parquet(in_dir).schema
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = windowed_counts_file_sink(stream, "ts", ["lang"], out_dir,
+                                      ckpt)
+        q.awaitTermination()
+
+    def read_out():
+        try:
+            return sorted(
+                (r["win_start"], r["lang"], r["n_rows"])
+                for r in spark.read.parquet(out_dir).collect())
+        except Exception:
+            return []
+
+    # batch 1: events in hours 0, 1, 2; max event = 2h05 -> watermark
+    # 1h05 -> only window [0h,1h) is finalized
+    write_batch([(base + 10, "en"), (base + 20, "en"),
+                 (base + 3600 + 5, "de"),
+                 (base + 7200 + 300, "en")], "b1")
+    run_once()
+    assert read_out() == [(base, "en", 2)]
+
+    # restart with NO new input: exactly-once means zero new rows
+    run_once()
+    assert read_out() == [(base, "en", 2)]
+
+    # batch 2: an event at hour 5 pushes the watermark to 4h ->
+    # windows [1h,2h) and [2h,3h) finalize now, ONCE; [5h,6h) pends
+    write_batch([(base + 5 * 3600 + 1, "fr")], "b2")
+    run_once()
+    assert read_out() == [
+        (base, "en", 2),
+        (base + 3600, "de", 1),
+        (base + 7200, "en", 1),
+    ]
