@@ -223,3 +223,61 @@ def read_shp_features(spark: SparkSession, path: str) -> DataFrame:
         "_base", F.posexplode_outer("_rows").alias("record_idx", "props"))
     return (geoms.join(props, on=["_base", "record_idx"], how="left")
             .select("path", "record_idx", "geom", "props"))
+
+
+def read_fgb(spark: SparkSession, path: str,
+             bbox: tuple | None = None) -> DataFrame:
+    """FlatGeobuf scan (the reference's flagship format — README.md:
+    88-95, geozero-bench/benches/geobench.rs:23-38): one row per
+    feature with (path, feature_idx, geom struct, props map).
+
+    ``bbox=(minx,miny,maxx,maxy)`` pushes the packed-Hilbert-R-tree
+    search INTO the scan (kernel/fgb.search_index): each file prunes to
+    index hits before decoding — the distributed analogue of the
+    reference's select_bbox streaming read. feature_idx numbers the
+    EMITTED rows per file (hit order == ascending file offset).
+
+    binaryFile source -> kernel decode to per-feature EWKB + JSON props
+    (one Arrow batch per file) -> JVM posexplode -> WKB decode to the
+    geometry struct. Directories of .fgb files parallelize by file; for
+    one giant file the index makes SINGLE-RANGE reads possible, but a
+    finer split needs a range-aware source (documented limit, as with
+    read_shp)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..kernel import fgb as kfgb
+    from ..kernel import wkb as kwkb
+
+    from pyspark.sql.functions import pandas_udf
+
+    # one JSON string per feature (wkb hex + props): pyspark's Arrow
+    # serializer crashes on struct-typed UDF outputs (types.py metadata
+    # bug — see CLAUDE.md), so the struct is assembled JVM-side with
+    # from_json/unhex instead
+    @pandas_udf(ArrayType(StringType()))
+    def fgb_records(content: pd.Series) -> pd.Series:
+        out = []
+        for buf in content:
+            rows = []
+            for geom, props in kfgb.iter_features(bytes(buf),
+                                                  bbox=bbox):
+                blob = (None if geom is None else
+                        kwkb.encode(geom, dialect=kwkb.DIALECT_EWKB))
+                rows.append(json.dumps({
+                    "wkb": None if blob is None else blob.hex(),
+                    "props": {k: None if v is None else str(v)
+                              for k, v in props.items()}}))
+            out.append(rows)
+        return pd.Series(out, dtype=object)
+
+    dec = udfs.st_geomfromwkb(dialect="ewkb")
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.fgb").load(path)
+           .select("path", fgb_records(F.col("content")).alias("_recs")))
+    return (raw.select(
+        "path", F.posexplode_outer("_recs").alias("feature_idx", "_j"))
+        .withColumn("_r", F.from_json(
+            "_j", "wkb string, props map<string,string>"))
+        .withColumn("geom", dec(F.unhex(F.col("_r.wkb"))))
+        .withColumn("props", F.col("_r.props"))
+        .drop("_j", "_r"))
