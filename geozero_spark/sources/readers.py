@@ -278,6 +278,56 @@ def read_fgb(spark: SparkSession, path: str,
         "path", F.posexplode_outer("_recs").alias("feature_idx", "_j"))
         .withColumn("_r", F.from_json(
             "_j", "wkb string, props map<string,string>"))
-        .withColumn("geom", dec(F.unhex(F.col("_r.wkb"))))
+        .withColumn("geom", F.when(
+            F.col("_r.wkb").isNotNull(),
+            dec(F.unhex(F.col("_r.wkb")))))
+        .withColumn("props", F.col("_r.props"))
+        .drop("_j", "_r"))
+
+
+def read_gpkg(spark: SparkSession, path: str,
+              table: str | None = None) -> DataFrame:
+    """GeoPackage FEATURE scan without a database server (the
+    reference's live-SQLx path, geozero/tests/geopackage.rs:4-99,
+    re-expressed file-level): binaryFile -> kernel sqlite B-tree walk
+    (kernel/sqlitefile.py) -> gpkg-dialect WKB decode -> geometry
+    struct + props map. One row per feature of ``table`` (default: the
+    file's first registered geometry table). Directories of .gpkg
+    files parallelize by file."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..kernel import gpkg as kgpkg
+    from ..kernel import wkb as kwkb
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(StringType()))
+    def gpkg_records(content: pd.Series) -> pd.Series:
+        out = []
+        for buf in content:
+            rows = []
+            for props, geom in kgpkg.read_features(bytes(buf),
+                                                   table=table):
+                blob = (None if geom is None else
+                        kwkb.encode(geom, dialect=kwkb.DIALECT_EWKB))
+                rows.append(json.dumps({
+                    "wkb": None if blob is None else blob.hex(),
+                    "props": {k: None if v is None else str(v)
+                              for k, v in props.items()}}))
+            out.append(rows)
+        return pd.Series(out, dtype=object)
+
+    dec = udfs.st_geomfromwkb(dialect="ewkb")
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.gpkg").load(path)
+           .select("path",
+                   gpkg_records(F.col("content")).alias("_recs")))
+    return (raw.select(
+        "path", F.posexplode_outer("_recs").alias("feature_idx", "_j"))
+        .withColumn("_r", F.from_json(
+            "_j", "wkb string, props map<string,string>"))
+        .withColumn("geom", F.when(
+            F.col("_r.wkb").isNotNull(),
+            dec(F.unhex(F.col("_r.wkb")))))
         .withColumn("props", F.col("_r.props"))
         .drop("_j", "_r"))
