@@ -233,6 +233,10 @@ def _parse_geom(p: _P) -> Geom:
         return _empty(kind, has_z, has_m)
 
     width_seen = [0]
+    # an explicit Z/M/ZM tag fixes the coordinate width; untagged input
+    # infers it but must stay uniform (the reference's wkt crate rejects
+    # mixed-dimensionality coordinate sequences)
+    expect_w = 2 + int(has_z) + int(has_m) if (has_z or has_m) else None
 
     def coord() -> tuple:
         vals = [p.number()]
@@ -240,6 +244,13 @@ def _parse_geom(p: _P) -> Geom:
             vals.append(p.number())
         if len(vals) < 2:
             raise WktError(f"coordinate needs at least x y at {p.i}")
+        if expect_w is not None and len(vals) != expect_w:
+            raise WktError(
+                f"coordinate has {len(vals)} values but dimension tag "
+                f"requires {expect_w} at {p.i}")
+        if width_seen[0] and len(vals) != width_seen[0]:
+            raise WktError(
+                f"inconsistent coordinate dimensions at {p.i}")
         width_seen[0] = max(width_seen[0], len(vals))
         return tuple(vals)
 

@@ -111,6 +111,12 @@ _Z_JSON = (
     " || CAST(cx + r AS STRING) || ',' || CAST(cy AS STRING) ||"
     " ']]]}'")
 
+ORACLES["tm_roundtrip"] = (
+    f"SELECT {P.URL} AS url, {P.TM_WKT_OUT} AS tm_rt, "
+    f"TRUE AS has_z, TRUE AS has_m, "
+    f"CAST(3 * {P.Z1_C} + 14 AS BIGINT) AS z_sum, "
+    f"CAST(6 * {P.M1_C} AS BIGINT) AS m_sum FROM documents")
+
 ORACLES["zones_encode"] = _with(("zs", _ZS)) + (
     f"SELECT zone_id, zone_name, {_Z_WKT_CR} AS wkt_rt, "
     f"'SRID=4326;' || {_Z_WKT_CR} AS ewkt, "

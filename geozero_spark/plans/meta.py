@@ -47,6 +47,12 @@ def run_stage(spark: SparkSession, df: DataFrame, base: str, stage: str,
     per bucket, a driver-side serial bottleneck at 10^12-row scale
     (round-1 judge). wall_s is the shared wall of the combined write,
     recorded on every bucket row it covered."""
+    if "bucket" in df.columns:
+        raise ValueError(
+            "run_stage derives its own 'bucket' partition column; the "
+            "input DataFrame already has one (it would be silently "
+            "overwritten and lost in the staged output) — rename it "
+            "before staging")
     done = completed_buckets(spark, base, stage, fingerprint)
     todo = [b for b in range(n_buckets) if b not in done]
     if not todo:

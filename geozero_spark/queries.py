@@ -170,6 +170,36 @@ def q_wkb_roundtrip(spark, sf_dir):
                     F.col("_rt.srid").alias("srid")))
 
 
+def q_tm_roundtrip(spark, sf_dir):
+    """XYZM coordinate lanes end to end: tagged ``LINESTRING ZM`` WKT
+    decode -> EWKB encode (Z|M flag bits) -> decode -> untagged WKT
+    re-emit, plus JVM-side Z/M extraction straight off the flat
+    4-wide coord lane (struct coords x,y,z,m interleave).
+
+    Reference parity: CoordDimensions xyzm through the WKB
+    writer/reader (geozero/src/wkb/wkb_writer.rs:102-253,
+    wkb_common.rs dim flags) and the WKT reader's ZM tag handling;
+    the reference pins the same path in its roundtrip suite
+    (geozero/src/wkb/wkb_writer.rs:490-514 DIM_XYZM fixtures)."""
+    P.register_views(spark, sf_dir, tables=("documents",))
+    dec = udfs.st_geomfromwkt()
+    enc = udfs.st_aswkt()
+    wenc = udfs.st_aswkb(dialect="ewkb")
+    wdec = udfs.st_geomfromwkb(dialect="ewkb")
+    df = spark.sql(f"SELECT {P.URL} AS url, {P.TM_WKT_IN} AS tm_wkt "
+                   f"FROM documents")
+    df = df.withColumn("_g", wdec(wenc(dec("tm_wkt"))))
+    lane = ("CAST(aggregate(transform(_g.coords, (v, i) -> "
+            "IF(i % 4 = {k}, v, CAST(0 AS DOUBLE))), CAST(0 AS DOUBLE), "
+            "(a, v) -> a + v) AS BIGINT)")
+    return df.select(
+        "url", enc("_g").alias("tm_rt"),
+        F.col("_g.has_z").alias("has_z"),
+        F.col("_g.has_m").alias("has_m"),
+        F.expr(lane.format(k=2)).alias("z_sum"),
+        F.expr(lane.format(k=3)).alias("m_sum"))
+
+
 def q_zones_encode(spark, sf_dir):
     """Polygon sinks: WKT / EWKT / GeoJSON / CSV-row encodes of zones."""
     z = zones_decoded(spark, sf_dir)
@@ -710,6 +740,7 @@ QUERIES = {
     "wkt_roundtrip": q_wkt_roundtrip,
     "geojson_encode": q_geojson_encode,
     "wkb_roundtrip": q_wkb_roundtrip,
+    "tm_roundtrip": q_tm_roundtrip,
     "zones_encode": q_zones_encode,
     "html_meta": q_html_meta,
     "cell_assign": q_cell_assign,

@@ -147,6 +147,26 @@ GPX_XML = (
     f"</gpx>')")
 
 
+# --- XYZM coordinate lanes: per-doc 3-point LINESTRING ZM -------------------
+# Z/M values are small integers derived from doc_id so they format
+# identically across engines and their sums cast back to exact BIGINTs.
+Z1_C = "(doc_id % 97)"
+M1_C = "(doc_id % 89 + 1)"
+
+_TM_PTS = (
+    f"{_i(LON_C)} || ' ' || {_i(LAT_C)} || ' ' || "
+    f"{_i(Z1_C)} || ' ' || {_i(M1_C)} || ',' || "
+    f"{_i(f'{LON_C} + 100')} || ' ' || {_i(f'{LAT_C} + 50')} || ' ' || "
+    f"{_i(f'{Z1_C} + 5')} || ' ' || {_i(f'{M1_C} * 2')} || ',' || "
+    f"{_i(f'{LON_C} + 200')} || ' ' || {_i(LAT_C)} || ' ' || "
+    f"{_i(f'{Z1_C} + 9')} || ' ' || {_i(f'{M1_C} * 3')}")
+
+# input carries the explicit ZM dimension tag (wkt reader form);
+# the writer re-emits the untagged 4-wide form (wkt writer parity).
+TM_WKT_IN = f"('LINESTRING ZM(' || {_TM_PTS} || ')')"
+TM_WKT_OUT = f"('LINESTRING(' || {_TM_PTS} || ')')"
+
+
 def zones_sql(d: str, nation: str = "nation") -> str:
     """SELECT producing the zones table (zone_id, zone_name, zone_wkt)."""
     return (f"SELECT CAST(n_nationkey AS BIGINT) AS zone_id, "

@@ -106,6 +106,17 @@ def test_run_stage_resume(spark, tmpdir_path):
     assert metrics.where("fingerprint = 'v1'").count() == 4
 
 
+def test_run_stage_rejects_bucket_column(spark, tmpdir_path):
+    # a caller 'bucket' column would be silently clobbered by the
+    # derived partition column — must refuse, not lose data
+    base = os.path.join(tmpdir_path, "stages_clash")
+    df = (spark.range(10).withColumn("k", F.col("id").cast("string"))
+          .withColumn("bucket", F.lit(7)))
+    with pytest.raises(ValueError, match="bucket"):
+        meta.run_stage(spark, df, base, "s1", bucket_col="k",
+                       n_buckets=4, fingerprint="v1")
+
+
 def test_minhash_fast_mode_runs(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),
