@@ -259,3 +259,58 @@ def encode(geoms: list[Geom]) -> bytes:
                      min(xs) if xs else 0.0, min(ys) if ys else 0.0,
                      max(xs) if xs else 0.0, max(ys) if ys else 0.0)
     return bytes(hdr) + bytes(recs)
+
+
+# ---------------------------------------------------------------------------
+# .shx sidecar index (reference: geozero/src/shp/shx_reader.rs:17-31,
+# reader.rs:209-221) — 100-byte header identical to .shp, then one
+# big-endian (offset_words, content_words) pair per record.
+# ---------------------------------------------------------------------------
+
+def read_shx(buf: bytes) -> list[tuple[int, int]]:
+    """.shx bytes -> [(record_byte_offset, record_byte_len), ...].
+
+    Offsets/lengths are stored in 16-bit words; the returned byte
+    length INCLUDES the 8-byte record header, so offset + len is the
+    start of the next record — contiguous runs concatenate exactly."""
+    hdr = read_header(buf)
+    n = (hdr["file_length"] * 2 - HEADER_SIZE) // 8
+    out = []
+    for i in range(n):
+        off, rsize = struct.unpack_from(">ii", buf, HEADER_SIZE + 8 * i)
+        out.append((off * 2, rsize * 2 + 8))
+    return out
+
+
+def decode_record_run(buf: bytes) -> list[tuple[int, Geom | None]]:
+    """Decode a HEADERLESS run of contiguous records (a byte slice of a
+    .shp starting at a record boundary, as carved out by read_shx)."""
+    out = []
+    pos = 0
+    while pos + 8 <= len(buf):
+        recno, rsize = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        body = buf[pos:pos + rsize * 2]
+        if len(body) != rsize * 2:
+            raise ShpError("truncated record body in run")
+        out.append((recno, _read_shape(body)))
+        pos += rsize * 2
+    if pos != len(buf):
+        raise ShpError("trailing bytes after last record in run")
+    return out
+
+
+def shx_of(shp_buf: bytes) -> bytes:
+    """Build the .shx sidecar for a .shp buffer (fixture generation;
+    same layout the reference's writer emits)."""
+    hdr = read_header(shp_buf)
+    end = hdr["file_length"] * 2
+    recs = bytearray()
+    pos = HEADER_SIZE
+    while pos < end:
+        _, rsize = struct.unpack_from(">ii", shp_buf, pos)
+        recs += struct.pack(">ii", pos // 2, rsize)
+        pos += 8 + rsize * 2
+    out = bytearray(shp_buf[:HEADER_SIZE])
+    struct.pack_into(">i", out, 24, (HEADER_SIZE + len(recs)) // 2)
+    return bytes(out) + bytes(recs)

@@ -225,6 +225,82 @@ def read_shp_features(spark: SparkSession, path: str) -> DataFrame:
             .select("path", "record_idx", "geom", "props"))
 
 
+def _fetch_range(path: str, start: int, nbytes: int) -> bytes:
+    """Range-read via pyarrow.fs so the same code path works on local
+    disk and on any URI-addressed filesystem Arrow can open."""
+    from pyarrow import fs as pafs
+    if "://" in path:
+        fsys, p = pafs.FileSystem.from_uri(path)
+    else:
+        fsys, p = pafs.LocalFileSystem(), path
+    with fsys.open_input_file(p) as f:
+        f.seek(start)
+        return f.read(nbytes)
+
+
+def read_shp_indexed(spark: SparkSession, shp_path: str,
+                     n_splits: Optional[int] = None) -> DataFrame:
+    """SINGLE-huge-.shp parallel scan via the .shx sidecar (reference
+    reader.rs:209-221 + shx_reader.rs:17-31): the driver reads only the
+    tiny index (8 bytes per record), packs contiguous record runs into
+    ~equal-byte splits, and every task range-reads just its slice of
+    the .shp — a 100 GB shapefile scans as wide as the cluster instead
+    of serializing through one whole-file task (read_shp's documented
+    limit; directories of small files keep using read_shp).
+
+    Output rows match read_shp: (path, record_idx, geom), record_idx
+    0-based in file order."""
+    import re as _re
+
+    from ..kernel import shp as kshp
+    from ..kernel import wkb as kwkb
+
+    shx_path = _re.sub(r"\.shp$", ".shx", shp_path)
+    idx = kshp.read_shx(_fetch_range(shx_path, 0, 1 << 30))
+    if n_splits is None:
+        n_splits = spark.sparkContext.defaultParallelism
+    total = sum(ln for _, ln in idx)
+    target = max(1, total // max(1, n_splits))
+    # (start, nbytes, first_idx) runs; a non-contiguous record (legal
+    # per the spec, unseen in practice) just starts a new run
+    splits: list[tuple[int, int, int]] = []
+    cur_start = None
+    cur_len = cur_first = 0
+    for i, (off, ln) in enumerate(idx):
+        if cur_start is not None and off != cur_start + cur_len:
+            splits.append((cur_start, cur_len, cur_first))
+            cur_start = None
+        if cur_start is None:
+            cur_start, cur_len, cur_first = off, 0, i
+        cur_len += ln
+        if cur_len >= target and len(splits) < n_splits - 1:
+            splits.append((cur_start, cur_len, cur_first))
+            cur_start = None
+    if cur_start is not None:
+        splits.append((cur_start, cur_len, cur_first))
+    sdf = spark.createDataFrame(
+        [(shp_path, s, ln, f) for s, ln, f in splits],
+        "path string, start long, nbytes long, first_idx long")
+    sdf = sdf.repartition(max(1, len(splits)))
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for path, start, nbytes, first in pdf.itertuples(index=False):
+                rows = kshp.decode_record_run(
+                    _fetch_range(path, int(start), int(nbytes)))
+                yield pd.DataFrame({
+                    "path": path,
+                    "record_idx": range(int(first),
+                                        int(first) + len(rows)),
+                    "_wkb": [None if g is None else
+                             kwkb.encode(g, "ewkb") for _, g in rows]})
+
+    out = sdf.mapInPandas(
+        scan, "path string, record_idx long, _wkb binary")
+    dec = udfs.st_geomfromwkb(dialect="ewkb")
+    return out.withColumn("geom", dec("_wkb")).drop("_wkb")
+
+
 def read_fgb(spark: SparkSession, path: str,
              bbox: tuple | None = None) -> DataFrame:
     """FlatGeobuf scan (the reference's flagship format — README.md:

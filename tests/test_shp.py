@@ -117,3 +117,39 @@ def test_dbf_properties_match_reference_expectations():
     assert any(r["AREA"] == 5268.813 for r in recs)
     assert all(isinstance(r["PRFEDEA"], str) for r in recs)
     assert all(isinstance(r["EAS_ID"], int) for r in recs)
+
+
+# --- .shx sidecar index (shx_reader.rs:17-31, reader.rs:209-221) ----------
+
+REF_SHX = "/root/reference/geozero/tests/data/shp"
+
+
+@pytest.mark.parametrize("name", ["point", "line", "poly", "polygon_hole"])
+def test_shx_of_matches_reference_sidecars(name):
+    # the reference repo ships real .shx files for these four — our
+    # generated sidecar must be byte-identical
+    if not os.path.exists(os.path.join(REF_SHX, f"{name}.shx")):
+        pytest.skip("reference .shx fixtures unavailable")
+    with open(os.path.join(REF_SHX, f"{name}.shx"), "rb") as f:
+        ref = f.read()
+    assert shp.shx_of(_load(name)) == ref
+
+
+@pytest.mark.parametrize("name", [
+    "point", "line", "poly", "polygon_hole", "multi_polygon",
+    "multipointz", "polygonz"])
+def test_shx_record_runs_roundtrip(name):
+    # carving every record out via the index and decoding the runs
+    # must reproduce the sequential whole-file decode exactly
+    buf = _load(name)
+    idx = shp.read_shx(shp.shx_of(buf))
+    seq = shp.decode_records(buf)
+    assert len(idx) == len(seq)
+    carved = b"".join(buf[o:o + ln] for o, ln in idx)
+    runs = shp.decode_record_run(carved)
+    assert [r[0] for r in runs] == [r[0] for r in seq]
+    for (_, a), (_, b) in zip(runs, seq):
+        if a is None or b is None:
+            assert a is b
+        else:
+            assert wkt.encode(a) == wkt.encode(b)

@@ -532,3 +532,31 @@ def test_streaming_append_restart_exactly_once(spark, tmpdir_path):
         (base + 3600, "de", 1),
         (base + 7200, "en", 1),
     ]
+
+
+def test_read_shp_indexed_matches_whole_file(spark, tmpdir_path):
+    """Single-huge-.shp parallel scan: .shx-driven range splits must
+    reproduce read_shp's whole-file decode row for row, with the work
+    spread over several byte-range tasks (reader.rs:209-221 +
+    shx_reader.rs semantics)."""
+    from geozero_spark.kernel import shp as kshp
+    from geozero_spark.kernel.model import Geom, POINT
+
+    geoms = [Geom(POINT, (float(2 * i), float(3 * i + 1)))
+             for i in range(2000)]
+    buf = kshp.encode(geoms)
+    path = os.path.join(tmpdir_path, "big.shp")
+    with open(path, "wb") as f:
+        f.write(buf)
+    with open(os.path.join(tmpdir_path, "big.shx"), "wb") as f:
+        f.write(kshp.shx_of(buf))
+
+    idf = readers.read_shp_indexed(spark, path, n_splits=8)
+    assert idf.rdd.getNumPartitions() == 8
+    got = {r.record_idx: (r.geom.coords[0], r.geom.coords[1])
+           for r in idf.collect()}
+    assert len(got) == 2000
+    assert got[0] == (0.0, 1.0) and got[1999] == (3998.0, 5998.0)
+    whole = {r.record_idx: (r.geom.coords[0], r.geom.coords[1])
+             for r in readers.read_shp(spark, path).collect()}
+    assert got == whole
