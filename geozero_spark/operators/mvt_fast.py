@@ -313,53 +313,229 @@ def _eligible(rec) -> bool:
     return rec.get("coords") is not None
 
 
+# below this many features the per-feature python loop beats the
+# fixed cost of ~40 whole-tile numpy passes (measured crossover ~50)
+_VECTOR_MIN = 64
+
+
+def _concat_aranges(reps: np.ndarray) -> np.ndarray:
+    """[0..reps[0]) ++ [0..reps[1]) ++ ... as one int64 array."""
+    total = int(reps.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    cum0 = np.zeros(len(reps), dtype=np.int64)
+    np.cumsum(reps[:-1], out=cum0[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(cum0, reps)
+
+
+def _zz_i64(v: np.ndarray) -> np.ndarray:
+    return (v << 1) ^ (v >> 63)
+
+
 def encode_tile_fast(layer_name: str, extent: int, items: list,
                      left: float, bottom: float, right: float,
                      top: float):
     """items: [(feature_key, rec_dict_or_None)] in final feature order.
     Returns (tile_bytes, n_features, n_skipped) or None if any feature
     is not fast-eligible (caller falls back to the kernel encoder for
-    the whole tile). Bytes identical to the kernel path."""
+    the whole tile). Bytes identical to the kernel path.
+
+    Large tiles build the command stream COLUMNAR: features are
+    partitioned into point / linestring / single-ring-polygon classes
+    and each class's commands, deltas and zigzags are computed in a
+    handful of whole-tile numpy passes scattered into one preallocated
+    int64 stream (multi-part kinds keep the per-feature builder,
+    written into their slots). Small tiles keep the plain-python
+    per-feature loop — the numpy fixed costs only pay off past ~64
+    features."""
     # eligibility scan first: the fallback must re-encode everything
     for _, rec in items:
         if rec is not None and not _eligible(rec):
             return None
-    # one transform for all coordinates in the tile
-    flat: list = []
-    lens: list[int] = []
-    for _, rec in items:
+    n_items = len(items)
+    # gather: kinds / coord counts / ring counts + one transform for
+    # all coordinates in the tile
+    kinds = np.full(n_items, -1, dtype=np.int64)
+    lens = np.zeros(n_items, dtype=np.int64)
+    nrings = np.ones(n_items, dtype=np.int64)
+    coord_arrays = []
+    for idx, (_, rec) in enumerate(items):
         if rec is None:
-            lens.append(0)
             continue
-        c = rec["coords"]
-        lens.append(len(c) // 2)
-        flat.extend(c)
-    if flat:
-        arr = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+        kinds[idx] = int(rec["kind"])
+        c = np.asarray(rec["coords"], dtype=np.float64)
+        coord_arrays.append(c)
+        lens[idx] = len(c) >> 1
+        o1 = rec.get("offs1")
+        if o1 is not None and len(o1) > 1:
+            nrings[idx] = len(o1) - 1
+    if coord_arrays:
+        arr = np.concatenate(coord_arrays).reshape(-1, 2)
         tx, ty = ktiles.mvt_transform_np(arr[:, 0], arr[:, 1], extent,
                                          left, bottom, right, top)
-        xs = tx.astype(np.int64).tolist()
-        ys = ty.astype(np.int64).tolist()
+        xs = tx.astype(np.int64)
+        ys = ty.astype(np.int64)
     else:
-        xs, ys = [], []
+        xs = ys = np.zeros(0, dtype=np.int64)
+    base = np.zeros(n_items, dtype=np.int64)
+    np.cumsum(lens[:-1], out=base[1:])
 
-    feats = []  # (fid, props, gtype, cmd_list)
-    skipped = 0
-    base = 0
-    for idx, (key, rec) in enumerate(items):
-        n = lens[idx]
-        if rec is None:
-            skipped += 1
-            continue
+    if n_items < _VECTOR_MIN:
+        xl, yl = xs.tolist(), ys.tolist()
+        feats = []  # (fid, props, gtype, cmd_list)
+        skipped = 0
+        for idx, (key, rec) in enumerate(items):
+            if rec is None:
+                skipped += 1
+                continue
+            try:
+                feats.append(_feature_cmds_py(
+                    rec, idx, key, xl, yl, int(base[idx]),
+                    int(lens[idx])))
+            except kmvt.MvtError:
+                skipped += 1
+        all_cmds = np.array([c for f in feats for c in f[3]],
+                            dtype=np.int64)
+        metas = [(fid, props, gtype, len(cmds))
+                 for fid, props, gtype, cmds in feats]
+        layer = _frame_layer(layer_name, extent, metas, all_cmds)
+        out = bytearray()
+        kmvt._write_bytes(out, 3, layer)
+        return bytes(out), len(metas), skipped
+
+    present = kinds >= 0
+    skipped = int(n_items - present.sum())
+    empty = present & (lens == 0)
+    skipped += int(empty.sum())
+    live = present & ~empty
+    is_p = live & (kinds == POINT) & (lens == 1)
+    is_l = live & (kinds == LINESTRING)
+    is_g = live & (kinds == POLYGON) & (nrings == 1)
+    is_py = live & ~(is_p | is_l | is_g)
+
+    bad_l = is_l & (lens < 2)
+    skipped += int(bad_l.sum())
+    is_l &= ~bad_l
+
+    # single-ring polygons: closure trim, min-size, orientation
+    gi = np.nonzero(is_g)[0]
+    m_full = np.zeros(n_items, dtype=np.int64)
+    rev_full = np.zeros(n_items, dtype=bool)
+    if len(gi):
+        b = base[gi]
+        n = lens[gi]
+        closed = ((n >= 2) & (xs[b] == xs[b + n - 1])
+                  & (ys[b] == ys[b + n - 1]))
+        m = n - closed
+        ok = m >= 3
+        skipped += int((~ok).sum())
+        is_g[gi[~ok]] = False
+        gi, b, m = gi[ok], b[ok], m[ok]
+        if len(gi):
+            # shoelace area*2 over ring [b, b+m) per feature
+            reps = m - 1
+            ar = _concat_aranges(reps)
+            i0 = np.repeat(b, reps) + ar
+            cross = xs[i0] * ys[i0 + 1] - xs[i0 + 1] * ys[i0]
+            seg0 = np.zeros(len(gi), dtype=np.int64)
+            np.cumsum(reps[:-1], out=seg0[1:])
+            area2 = np.add.reduceat(cross, seg0)
+            area2 += xs[b + m - 1] * ys[b] - xs[b] * ys[b + m - 1]
+            m_full[gi] = m
+            # exterior ring must be CCW-positive; else emit reversed
+            rev_full[gi] = ~(area2 > 0)
+
+    # multi-part / unusual kinds: per-feature python builder
+    py_feats: dict[int, tuple] = {}
+    for idx in np.nonzero(is_py)[0]:
+        key, rec = items[int(idx)]
         try:
-            feats.append(_feature_cmds_py(rec, idx, key, xs, ys, base, n))
+            py_feats[int(idx)] = _feature_cmds_py(
+                rec, int(idx), key, xs, ys, int(base[idx]),
+                int(lens[idx]))
         except kmvt.MvtError:
             skipped += 1
-        base += n
-    layer = _frame_layer(layer_name, extent, feats)
+            is_py[idx] = False
+
+    ncmds = np.zeros(n_items, dtype=np.int64)
+    ncmds[is_p] = 3
+    ncmds[is_l] = 2 * lens[is_l] + 2
+    ncmds[is_g] = 2 * m_full[is_g] + 3
+    for idx, f in py_feats.items():
+        ncmds[idx] = len(f[3])
+    keep = is_p | is_l | is_g | is_py
+    kept_idx = np.nonzero(keep)[0]
+    nc = ncmds[kept_idx]
+    offs_full = np.zeros(n_items, dtype=np.int64)
+    off_k = np.zeros(len(kept_idx), dtype=np.int64)
+    np.cumsum(nc[:-1], out=off_k[1:])
+    offs_full[kept_idx] = off_k
+    cmds_all = np.zeros(int(nc.sum()), dtype=np.int64)
+
+    pi = np.nonzero(is_p)[0]
+    if len(pi):
+        o, b = offs_full[pi], base[pi]
+        cmds_all[o] = 9  # MoveTo count 1
+        cmds_all[o + 1] = _zz_i64(xs[b])
+        cmds_all[o + 2] = _zz_i64(ys[b])
+
+    li = np.nonzero(is_l)[0]
+    if len(li):
+        o, b, n = offs_full[li], base[li], lens[li]
+        cmds_all[o] = 9
+        cmds_all[o + 1] = _zz_i64(xs[b])
+        cmds_all[o + 2] = _zz_i64(ys[b])
+        cmds_all[o + 3] = ((n - 1) << 3) | 2  # LineTo count n-1
+        reps = n - 1
+        ar = _concat_aranges(reps)
+        ci = np.repeat(b, reps) + ar + 1
+        slot = np.repeat(o + 4, reps) + 2 * ar
+        cmds_all[slot] = _zz_i64(xs[ci] - xs[ci - 1])
+        cmds_all[slot + 1] = _zz_i64(ys[ci] - ys[ci - 1])
+
+    for reverse in (False, True):
+        sub = np.nonzero(is_g & (rev_full == reverse))[0]
+        if not len(sub):
+            continue
+        o, mm = offs_full[sub], m_full[sub]
+        start = base[sub] if not reverse else base[sub] + mm - 1
+        cmds_all[o] = 9
+        cmds_all[o + 1] = _zz_i64(xs[start])
+        cmds_all[o + 2] = _zz_i64(ys[start])
+        cmds_all[o + 3] = ((mm - 1) << 3) | 2
+        reps = mm - 1
+        ar = _concat_aranges(reps)
+        slot = np.repeat(o + 4, reps) + 2 * ar
+        if not reverse:
+            ci = np.repeat(start, reps) + ar + 1
+            cmds_all[slot] = _zz_i64(xs[ci] - xs[ci - 1])
+            cmds_all[slot + 1] = _zz_i64(ys[ci] - ys[ci - 1])
+        else:
+            ci = np.repeat(start, reps) - ar - 1
+            cmds_all[slot] = _zz_i64(xs[ci] - xs[ci + 1])
+            cmds_all[slot + 1] = _zz_i64(ys[ci] - ys[ci + 1])
+        cmds_all[o + 2 * mm + 2] = 15  # ClosePath
+
+    for idx, f in py_feats.items():
+        o = int(offs_full[idx])
+        cmds_all[o:o + len(f[3])] = f[3]
+
+    metas = []
+    for idx in kept_idx:
+        i = int(idx)
+        if i in py_feats:
+            fid, props, gtype, _ = py_feats[i]
+            metas.append((fid, props, gtype, int(ncmds[i])))
+        else:
+            gt = (kmvt.GEOM_POINT if is_p[i]
+                  else kmvt.GEOM_LINESTRING if is_l[i]
+                  else kmvt.GEOM_POLYGON)
+            metas.append((i, {"id": str(items[i][0])}, gt,
+                          int(ncmds[i])))
+    layer = _frame_layer(layer_name, extent, metas, cmds_all)
     out = bytearray()
     kmvt._write_bytes(out, 3, layer)
-    return bytes(out), len(feats), skipped
+    return bytes(out), len(metas), skipped
 
 
 def _feature_cmds_py(rec, fid, key, xs, ys, base, n):
@@ -434,9 +610,11 @@ def _feature_cmds_py(rec, fid, key, xs, ys, base, n):
     return fid, props, kmvt.GEOM_POLYGON, cmds
 
 
-def _frame_layer(name: str, extent: int, feats: list) -> bytes:
-    """feats: (fid, props, gtype, cmd_list) -> layer bytes (identical
-    to kernel _encode_layer / encode_layer_fast framing)."""
+def _frame_layer(name: str, extent: int, metas: list,
+                 all_cmds: np.ndarray) -> bytes:
+    """metas: (fid, props, gtype, ncmds) per kept feature in order;
+    all_cmds: the tile's whole command stream. Returns layer bytes
+    identical to kernel _encode_layer / encode_layer_fast framing."""
     keys: list[str] = []
     key_idx: dict[str, int] = {}
     values: list[bytes] = []
@@ -447,13 +625,12 @@ def _frame_layer(name: str, extent: int, feats: list) -> bytes:
     kmvt._write_varint(out, 2)
     kmvt._write_bytes(out, 1, name.encode("utf-8"))
 
-    all_cmds = np.array([c for f in feats for c in f[3]], dtype=np.int64)
     blob, nbytes = varints_np(all_cmds)
     byte_off = np.zeros(len(nbytes) + 1, dtype=np.int64)
     np.cumsum(nbytes, out=byte_off[1:])
 
     ci = 0
-    for fid, props, gtype, cmds in feats:
+    for fid, props, gtype, ncmds in metas:
         fb = bytearray()
         if fid is not None:
             kmvt._tag(fb, 1, 0)
@@ -476,7 +653,6 @@ def _frame_layer(name: str, extent: int, feats: list) -> bytes:
             kmvt._write_bytes(fb, 2, bytes(packed))
         kmvt._tag(fb, 3, 0)
         kmvt._write_varint(fb, gtype)
-        ncmds = len(cmds)
         span = blob[byte_off[ci]:byte_off[ci + ncmds]]
         kmvt._write_bytes(fb, 4, span)
         ci += ncmds

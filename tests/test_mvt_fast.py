@@ -140,3 +140,63 @@ def test_batched_validity_skip_and_fallback():
     r = mvt_fast.encode_tile_fast(
         "layer", EXTENT, [("0", exo)], *BOUNDS)
     assert r is None
+
+
+def test_vectorized_big_tile_bytes_identical():
+    """>= _VECTOR_MIN features exercises the columnar command builder;
+    bytes must equal both the kernel path and the per-feature python
+    branch (forced via _VECTOR_MIN monkeypatch)."""
+    rng = np.random.default_rng(7)
+    geoms = []
+    for i in range(40):
+        x = float(rng.uniform(-9, 9))
+        y = float(rng.uniform(-4, 4))
+        geoms += [
+            f"POINT({x:.4f} {y:.4f})",
+            f"LINESTRING({x:.4f} {y:.4f},{x + 0.5:.4f} {y + 0.2:.4f},"
+            f"{x - 0.3:.4f} {y - 0.1:.4f})",
+            # CCW closed ring
+            f"POLYGON(({x:.4f} {y:.4f},{x + 0.4:.4f} {y:.4f},"
+            f"{x + 0.4:.4f} {y + 0.4:.4f},{x:.4f} {y + 0.4:.4f},"
+            f"{x:.4f} {y:.4f}))",
+            # CW input ring (must be re-oriented)
+            f"POLYGON(({x:.4f} {y:.4f},{x:.4f} {y + 0.4:.4f},"
+            f"{x + 0.4:.4f} {y + 0.4:.4f},{x + 0.4:.4f} {y:.4f},"
+            f"{x:.4f} {y:.4f}))",
+        ]
+    geoms += GEOMS  # multipoint/multiline/holes hit the python scatter
+    assert len(geoms) >= mvt_fast._VECTOR_MIN
+    blob, n, skipped = _tile_fast_batched(geoms)
+    assert skipped == 0 and n == len(geoms)
+    assert blob == _tile_kernel(geoms)
+
+
+def test_vectorized_matches_python_branch_with_skips(monkeypatch):
+    """None rows, invalid linestrings and degenerate rings must skip
+    identically in both branches (same n/skipped AND same bytes)."""
+    rng = np.random.default_rng(11)
+    items = []
+    for i in range(90):
+        x = float(rng.uniform(-9, 9))
+        y = float(rng.uniform(-4, 4))
+        mod = i % 6
+        if mod == 0:
+            items.append((str(i), None))
+        elif mod == 1:
+            bad = sr.to_struct(
+                wkt.decode(f"LINESTRING({x:.3f} {y:.3f},0 0)"))
+            bad["coords"] = bad["coords"][:2]  # 1 coord -> skip
+            items.append((str(i), bad))
+        elif mod == 2:
+            # ring degenerates to <3 distinct coords in tile space
+            w = (f"POLYGON(({x:.5f} {y:.5f},{x + 1e-05:.5f} {y:.5f},"
+                 f"{x:.5f} {y + 1e-05:.5f},{x:.5f} {y:.5f}))")
+            items.append((str(i), sr.to_struct(wkt.decode(w))))
+        else:
+            items.append((str(i), sr.to_struct(wkt.decode(
+                f"POINT({x:.4f} {y:.4f})"))))
+    r_vec = mvt_fast.encode_tile_fast("layer", EXTENT, items, *BOUNDS)
+    monkeypatch.setattr(mvt_fast, "_VECTOR_MIN", 10 ** 9)
+    r_py = mvt_fast.encode_tile_fast("layer", EXTENT, items, *BOUNDS)
+    assert r_vec == r_py
+    assert r_vec[2] > 0  # some features actually skipped
