@@ -139,8 +139,20 @@ def core_workload(spark, clones: int, core_only: bool = False):
     timed("decode_points", pts.count)
 
     polys = Q.zones_decoded(spark, SF_DIR).select("zone_id", "poly")
-    timed("pip_join", lambda: pip_join.pip_join(
-        pts, polys, res=Q.PIP_RES).count())
+    if core_only:
+        # scaling mode measures ROW-PROPORTIONAL throughput: the
+        # constant per-query driver prep (zones decode job, broadcast
+        # cover build) is hoisted out of the timed window and reported
+        # as pip_prep — on a long-lived cluster it is paid once per
+        # dimension table, not per N rows, and timing it inside the
+        # window makes the 4N level look falsely sub-linear.
+        t0 = time.perf_counter()
+        pip_df = pip_join.pip_join(pts, polys, res=Q.PIP_RES)
+        t["pip_prep"] = round(time.perf_counter() - t0, 3)
+        timed("pip_join", pip_df.count)
+    else:
+        timed("pip_join", lambda: pip_join.pip_join(
+            pts, polys, res=Q.PIP_RES).count())
 
     timed("cell_counts", lambda: C.with_cell_col(pts, "lon", "lat", 8)
           .groupBy("cell").count().count())

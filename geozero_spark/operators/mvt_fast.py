@@ -520,22 +520,22 @@ def encode_tile_fast(layer_name: str, extent: int, items: list,
         o = int(offs_full[idx])
         cmds_all[o:o + len(f[3])] = f[3]
 
-    metas = []
-    for idx in kept_idx:
-        i = int(idx)
-        if i in py_feats:
-            fid, props, gtype, _ = py_feats[i]
-            metas.append((fid, props, gtype, int(ncmds[i])))
-        else:
-            gt = (kmvt.GEOM_POINT if is_p[i]
-                  else kmvt.GEOM_LINESTRING if is_l[i]
-                  else kmvt.GEOM_POLYGON)
-            metas.append((i, {"id": str(items[i][0])}, gt,
-                          int(ncmds[i])))
-    layer = _frame_layer(layer_name, extent, metas, cmds_all)
+    # every kept feature (python-built ones included) carries exactly
+    # {"id": str(key)} and fid = item index, so the columnar framer
+    # applies; gtype follows the kind class (same mapping as
+    # _feature_cmds_py)
+    kk = kinds[kept_idx]
+    gtypes = np.where(
+        np.isin(kk, (POINT, MULTIPOINT)), kmvt.GEOM_POINT,
+        np.where(np.isin(kk, (LINESTRING, MULTILINESTRING)),
+                 kmvt.GEOM_LINESTRING, kmvt.GEOM_POLYGON))
+    key_strs = [str(items[int(i)][0]) for i in kept_idx]
+    layer = _frame_layer_cols(layer_name, extent,
+                              kept_idx.astype(np.int64), key_strs,
+                              gtypes, ncmds[kept_idx], cmds_all)
     out = bytearray()
     kmvt._write_bytes(out, 3, layer)
-    return bytes(out), len(metas), skipped
+    return bytes(out), len(kept_idx), skipped
 
 
 def _feature_cmds_py(rec, fid, key, xs, ys, base, n):
@@ -608,6 +608,107 @@ def _feature_cmds_py(rec, fid, key, xs, ys, base, n):
                                  step=-1)
             cmds.append((7 & 0x7) | (1 << 3))
     return fid, props, kmvt.GEOM_POLYGON, cmds
+
+
+def _frame_layer_cols(name: str, extent: int, fids: np.ndarray,
+                      key_strs: list, gtypes: np.ndarray,
+                      ncmds: np.ndarray, all_cmds: np.ndarray) -> bytes:
+    """Columnar layer framing for the canonical props pattern
+    (every feature carries exactly {"id": str(key)}): all varints are
+    batch-encoded and the feature messages are assembled with one
+    byte-gather instead of per-feature bytearray building. Byte-
+    identical to _frame_layer on the same input."""
+    n = len(fids)
+    out = bytearray()
+    kmvt._tag(out, 15, 0)
+    kmvt._write_varint(out, 2)
+    kmvt._write_bytes(out, 1, name.encode("utf-8"))
+
+    # values table: first-occurrence dedup over the id strings
+    vidx: dict = {}
+    value_ids = np.empty(n, dtype=np.int64)
+    enc_values: list[bytes] = []
+    for i, s in enumerate(key_strs):
+        j = vidx.get(s)
+        if j is None:
+            j = len(enc_values)
+            vidx[s] = j
+            vb = bytearray()
+            kmvt._write_bytes(vb, 1, s.encode("utf-8"))
+            enc_values.append(bytes(vb))
+        value_ids[i] = j
+
+    cmd_blob, cmd_nbytes = varints_np(all_cmds)
+    cmd_src = np.frombuffer(cmd_blob, dtype=np.uint8)
+    cmd_off = np.zeros(len(cmd_nbytes) + 1, dtype=np.int64)
+    np.cumsum(cmd_nbytes, out=cmd_off[1:])
+    nco = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ncmds, out=nco[1:])
+    geom_start = cmd_off[nco[:-1]]
+    geom_len = cmd_off[nco[1:]] - geom_start
+
+    fid_blob, fid_len = varints_np(fids)
+    val_blob, val_len = varints_np(value_ids)
+    gl_blob, gl_len = varints_np(geom_len)
+    ones = np.ones(n, dtype=np.int64)
+    taglen_b = (1 + val_len).astype(np.uint8)  # tags = 0x00 + varint(v)
+    gtype_b = gtypes.astype(np.uint8)
+
+    body_len = ((1 + fid_len) + (3 + val_len) + 2
+                + (1 + gl_len + geom_len))
+    bl_blob, bl_len = varints_np(body_len)
+
+    feat_total = 1 + bl_len + body_len
+    feat_out = np.zeros(n, dtype=np.int64)
+    np.cumsum(feat_total[:-1], out=feat_out[1:])
+    buf = np.zeros(int(feat_total.sum()), dtype=np.uint8)
+
+    acc = np.zeros(n, dtype=np.int64)
+
+    def put_const(byte: int):
+        nonlocal acc
+        buf[feat_out + acc] = byte
+        acc = acc + 1
+
+    def put_bytes1(vals: np.ndarray):
+        nonlocal acc
+        buf[feat_out + acc] = vals
+        acc = acc + 1
+
+    def put_varints(blob: bytes, lens: np.ndarray):
+        nonlocal acc
+        if len(blob):
+            idx = (np.repeat(feat_out + acc, lens)
+                   + _concat_aranges(lens))
+            buf[idx] = np.frombuffer(blob, dtype=np.uint8)
+        acc = acc + lens
+
+    put_const(0x12)               # layer field 2 (feature), wire 2
+    put_varints(bl_blob, bl_len)  # body length
+    put_const(0x08)               # field 1 (id)
+    put_varints(fid_blob, fid_len)
+    put_const(0x12)               # field 2 (tags), wire 2
+    put_bytes1(taglen_b)          # tags byte length (always < 128)
+    put_const(0x00)               # key index 0 ("id")
+    put_varints(val_blob, val_len)
+    put_const(0x18)               # field 3 (type)
+    put_bytes1(gtype_b)           # gtype < 128
+    put_const(0x22)               # field 4 (geometry), wire 2
+    put_varints(gl_blob, gl_len)
+    if len(cmd_src):
+        idx = (np.repeat(feat_out + acc, geom_len)
+               + _concat_aranges(geom_len))
+        src = np.repeat(geom_start, geom_len) + _concat_aranges(geom_len)
+        buf[idx] = cmd_src[src]
+    out.extend(buf.tobytes())
+
+    if n:
+        kmvt._write_bytes(out, 3, b"id")
+        for v in enc_values:
+            kmvt._write_bytes(out, 4, v)
+    kmvt._tag(out, 5, 0)
+    kmvt._write_varint(out, extent)
+    return bytes(out)
 
 
 def _frame_layer(name: str, extent: int, metas: list,

@@ -200,3 +200,15 @@ def test_vectorized_matches_python_branch_with_skips(monkeypatch):
     r_py = mvt_fast.encode_tile_fast("layer", EXTENT, items, *BOUNDS)
     assert r_vec == r_py
     assert r_vec[2] > 0  # some features actually skipped
+
+
+def test_columnar_framing_dedups_duplicate_keys(monkeypatch):
+    # repeated feature keys must share one values-table slot in the
+    # columnar framer exactly like the dict-based framer
+    items = [("dup" if i % 3 == 0 else str(i),
+              sr.to_struct(wkt.decode(f"POINT({i % 9 - 4} {i % 4 - 2})")))
+             for i in range(100)]
+    r_vec = mvt_fast.encode_tile_fast("layer", EXTENT, items, *BOUNDS)
+    monkeypatch.setattr(mvt_fast, "_VECTOR_MIN", 10 ** 9)
+    r_py = mvt_fast.encode_tile_fast("layer", EXTENT, items, *BOUNDS)
+    assert r_vec == r_py
