@@ -222,9 +222,13 @@ def pip_refine():
             return pd.Series(out)
         pxv = px.to_numpy(dtype=np.float64)
         pyv = py.to_numpy(dtype=np.float64)
+        # the caller may ship a slimmed struct (pip_join projects out
+        # bbox/t-lanes before the exchange); decode whatever fields
+        # are present — from_struct tolerates missing ones
+        fields = [k for k in _FIELDS if k in poly.columns]
         for _, idx in zone.groupby(zone, sort=False).indices.items():
             geom = sr.from_struct(
-                {k: poly[k].iloc[idx[0]] for k in _FIELDS})
+                {k: poly[k].iloc[idx[0]] for k in fields})
             out[idx] = kpip.points_in_polygon_np(pxv[idx], pyv[idx], geom)
         return pd.Series(out)
 

@@ -154,12 +154,26 @@ def _prepare_broadcast_polys(polys: DataFrame, res: int, poly_key: str,
 def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
              lon: str = "lon", lat: str = "lat",
              poly_geom: str = "poly", poly_key: str = "zone_id",
-             broadcast_polys: bool = True, salt: int = 0) -> DataFrame:
+             broadcast_polys: bool = True, salt: int = 0,
+             prefilter: bool = False) -> DataFrame:
     """Exact point-in-polygon join.
 
     points: any columns + lon/lat (degrees). polys: poly_key + a
     geometry struct column ``poly_geom``. Returns points columns +
     poly_key for every (point, polygon) containment pair.
+
+    ``prefilter`` (shuffle path only): semi-join the points against
+    the DISTINCT cover cells — bounded by the 4^res grid, so always
+    broadcastable at sane res — BEFORE the big exchange, so points
+    outside every polygon's bbox never shuffle. Turn this on when the
+    points side dwarfs the cover-cell count (the 10^12-row regime) and
+    the polygons cover a fraction of the grid: the prune factor is
+    that fraction. It costs one extra pass over the polygon side plus
+    a small distinct+broadcast job (~1s fixed), which is why it is OFF
+    by default — at bench scale (200k points) the exchange it saves is
+    cheaper than the job that saves it. Measured sf0.1: prefilter on =
+    3.2s vs off = 2.1s; the crossover is where points-exchange bytes
+    exceed a few hundred MB per executor.
     """
     pts = with_cell(points, lon, lat, res)
     if salt > 0:
@@ -213,6 +227,17 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
     cover = explode_bbox_cover(
         polys.select(poly_key, poly_geom),
         res, bbox_col=f"{poly_geom}.bbox")
+    # slim the shuffled polygon payload to the fields the refine
+    # decodes (from_struct tolerates the missing ones) — bbox and the
+    # t-lanes are dead weight through the exchange, the same trick as
+    # the MVT cover (operators/tiling.py)
+    cover = cover.withColumn(poly_geom, F.struct(*[
+        F.col(f"{poly_geom}.{f}").alias(f)
+        for f in ("kind", "srid", "has_z", "has_m", "coords",
+                  "offs1", "offs2", "wkb")]))
+    if prefilter:
+        pts = pts.join(F.broadcast(cover.select("cell").distinct()),
+                       on="cell", how="leftsemi")
     if salt > 0:
         cover = cover.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))

@@ -560,3 +560,24 @@ def test_read_shp_indexed_matches_whole_file(spark, tmpdir_path):
     whole = {r.record_idx: (r.geom.coords[0], r.geom.coords[1])
              for r in readers.read_shp(spark, path).collect()}
     assert got == whole
+
+
+def test_pip_paths_identical_rows(spark):
+    """Broadcast, shuffle+salt, and shuffle+prefilter PIP paths must
+    return the same (doc, zone) pairs; prefilter only prunes points
+    that cannot match (bbox-cover semi-join is conservative)."""
+    from geozero_spark import queries as Q
+    from geozero_spark.operators import pip_join as pj
+
+    sf = "/root/testdata/sf0.001"
+    pts = Q.points_df(spark, sf).select("url", "lon", "lat")
+    polys = Q.zones_decoded(spark, sf).select("zone_id", "poly")
+    base = {(r.url, r.zone_id) for r in
+            pj.pip_join(pts, polys, res=Q.PIP_RES).collect()}
+    assert base
+    for kw in (dict(broadcast_polys=False, salt=4),
+               dict(broadcast_polys=False, salt=4, prefilter=True),
+               dict(broadcast_polys=False, prefilter=True)):
+        got = {(r.url, r.zone_id) for r in
+               pj.pip_join(pts, polys, res=Q.PIP_RES, **kw).collect()}
+        assert got == base, kw
