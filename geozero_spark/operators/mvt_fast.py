@@ -369,6 +369,61 @@ def encode_tile_fast(layer_name: str, extent: int, items: list,
         o1 = rec.get("offs1")
         if o1 is not None and len(o1) > 1:
             nrings[idx] = len(o1) - 1
+    return _encode_gathered(
+        layer_name, extent, n_items, kinds, lens, nrings, coord_arrays,
+        lambda i: items[i][1], lambda i: items[i][0],
+        left, bottom, right, top)
+
+
+def encode_tile_cols(layer_name: str, extent: int, keys: list,
+                     kind_l: list, has_z_l: list, has_m_l: list,
+                     coords_l: list, offs1_l: list, offs2_l: list,
+                     wkb_l: list, left: float, bottom: float,
+                     right: float, top: float):
+    """Column-wise twin of encode_tile_fast: parallel per-feature
+    sequences instead of struct dicts, so the Arrow struct -> python
+    dict materialization (~several us/row) never happens. An absent
+    feature is kind_l[i] is None. Returns the same
+    (bytes, n_features, n_skipped), or None for whole-tile kernel
+    fallback. Byte-identical to the dict path on equivalent input."""
+    n_items = len(keys)
+    kinds = np.full(n_items, -1, dtype=np.int64)
+    lens = np.zeros(n_items, dtype=np.int64)
+    nrings = np.ones(n_items, dtype=np.int64)
+    coord_arrays = []
+    for idx in range(n_items):
+        k = kind_l[idx]
+        if k is None:
+            continue
+        k = int(k)
+        if (k not in _FLAT_2D or wkb_l[idx] is not None
+                or has_z_l[idx] or has_m_l[idx]
+                or coords_l[idx] is None):
+            return None
+        kinds[idx] = k
+        c = np.asarray(coords_l[idx], dtype=np.float64)
+        coord_arrays.append(c)
+        lens[idx] = len(c) >> 1
+        o1 = offs1_l[idx]
+        if o1 is not None and len(o1) > 1:
+            nrings[idx] = len(o1) - 1
+
+    def rec_for(i):
+        if kind_l[i] is None:
+            return None
+        return {"kind": kind_l[i], "has_z": has_z_l[i],
+                "has_m": has_m_l[i], "coords": coords_l[i],
+                "offs1": offs1_l[i], "offs2": offs2_l[i],
+                "wkb": wkb_l[i]}
+
+    return _encode_gathered(
+        layer_name, extent, n_items, kinds, lens, nrings, coord_arrays,
+        rec_for, lambda i: keys[i], left, bottom, right, top)
+
+
+def _encode_gathered(layer_name, extent, n_items, kinds, lens, nrings,
+                     coord_arrays, rec_for, key_for,
+                     left, bottom, right, top):
     if coord_arrays:
         arr = np.concatenate(coord_arrays).reshape(-1, 2)
         tx, ty = ktiles.mvt_transform_np(arr[:, 0], arr[:, 1], extent,
@@ -384,13 +439,14 @@ def encode_tile_fast(layer_name: str, extent: int, items: list,
         xl, yl = xs.tolist(), ys.tolist()
         feats = []  # (fid, props, gtype, cmd_list)
         skipped = 0
-        for idx, (key, rec) in enumerate(items):
+        for idx in range(n_items):
+            rec = rec_for(idx)
             if rec is None:
                 skipped += 1
                 continue
             try:
                 feats.append(_feature_cmds_py(
-                    rec, idx, key, xl, yl, int(base[idx]),
+                    rec, idx, key_for(idx), xl, yl, int(base[idx]),
                     int(lens[idx])))
             except kmvt.MvtError:
                 skipped += 1
@@ -448,11 +504,10 @@ def encode_tile_fast(layer_name: str, extent: int, items: list,
     # multi-part / unusual kinds: per-feature python builder
     py_feats: dict[int, tuple] = {}
     for idx in np.nonzero(is_py)[0]:
-        key, rec = items[int(idx)]
         try:
             py_feats[int(idx)] = _feature_cmds_py(
-                rec, int(idx), key, xs, ys, int(base[idx]),
-                int(lens[idx]))
+                rec_for(int(idx)), int(idx), key_for(int(idx)),
+                xs, ys, int(base[idx]), int(lens[idx]))
         except kmvt.MvtError:
             skipped += 1
             is_py[idx] = False
@@ -529,7 +584,7 @@ def encode_tile_fast(layer_name: str, extent: int, items: list,
         np.isin(kk, (POINT, MULTIPOINT)), kmvt.GEOM_POINT,
         np.where(np.isin(kk, (LINESTRING, MULTILINESTRING)),
                  kmvt.GEOM_LINESTRING, kmvt.GEOM_POLYGON))
-    key_strs = [str(items[int(i)][0]) for i in kept_idx]
+    key_strs = [str(key_for(int(i))) for i in kept_idx]
     layer = _frame_layer_cols(layer_name, extent,
                               kept_idx.astype(np.int64), key_strs,
                               gtypes, ncmds[kept_idx], cmds_all)

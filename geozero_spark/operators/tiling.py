@@ -97,30 +97,49 @@ def mvt_tiles(df: DataFrame, z: int, key: str = "url",
                              bbox_col=f"{geom}.bbox")
     # the bbox did its job in the cover explode; shuffle only the
     # fields the encoder reads (bbox/srid/t-lanes are ~35% of the
-    # struct's bytes and pure dead weight through the (z,x,y) exchange)
-    cover = cover.withColumn(geom, F.struct(
-        F.col(f"{geom}.kind").alias("kind"),
-        F.col(f"{geom}.has_z").alias("has_z"),
-        F.col(f"{geom}.has_m").alias("has_m"),
-        F.col(f"{geom}.coords").alias("coords"),
-        F.col(f"{geom}.offs1").alias("offs1"),
-        F.col(f"{geom}.offs2").alias("offs2"),
-        F.col(f"{geom}.wkb").alias("wkb")))
+    # struct's bytes and pure dead weight through the (z,x,y)
+    # exchange) — and ship them FLAT: the same bytes cross the
+    # exchange, but Arrow -> pandas then yields numpy/object columns
+    # instead of materializing a python dict per row (~several us/row
+    # inside the encode stage, measured)
+    cover = cover.select(
+        key, "z", "x", "y",
+        F.col(f"{geom}.kind").alias("_kind"),
+        F.col(f"{geom}.has_z").alias("_has_z"),
+        F.col(f"{geom}.has_m").alias("_has_m"),
+        F.col(f"{geom}.coords").alias("_coords"),
+        F.col(f"{geom}.offs1").alias("_offs1"),
+        F.col(f"{geom}.offs2").alias("_offs2"),
+        F.col(f"{geom}.wkb").alias("_wkb"))
     if max_features is not None:
         from pyspark.sql import Window
         w = Window.partitionBy("z", "x", "y").orderBy(key)
         cover = (cover.withColumn("_rn", F.row_number().over(w))
                  .where(F.col("_rn") <= max_features).drop("_rn"))
 
-    def _encode_kernel(pdf, zz, xx, yy, left, bottom, right, top):
+    _GCOLS = ("_kind", "_has_z", "_has_m", "_coords", "_offs1",
+              "_offs2", "_wkb")
+
+    def _col_lists(pdf):
+        keys_l = pdf[key].tolist()
+        cols_l = [pdf[c].tolist() for c in _GCOLS]
+        # kind can arrive as float (nullable int -> NaN) from Arrow
+        cols_l[0] = [None if v is None or v != v else int(v)
+                     for v in cols_l[0]]
+        return keys_l, cols_l
+
+    def _encode_kernel(keys_l, cols_l, left, bottom, right, top):
         feats = []
         skipped = 0
-        geoms = pdf[geom]
-        for i, k in enumerate(pdf[key]):
-            g = sr.from_struct(geoms.iloc[i])
-            if g is None:
+        for i, k in enumerate(keys_l):
+            if cols_l[0][i] is None:
                 skipped += 1
                 continue
+            g = sr.from_struct({
+                "kind": cols_l[0][i], "has_z": cols_l[1][i],
+                "has_m": cols_l[2][i], "coords": cols_l[3][i],
+                "offs1": cols_l[4][i], "offs2": cols_l[5][i],
+                "wkb": cols_l[6][i]})
             try:
                 tg = ktiles.transform_geom_to_tile(
                     g, extent, left, bottom, right, top)
@@ -133,24 +152,18 @@ def mvt_tiles(df: DataFrame, z: int, key: str = "url",
                                   features=feats)]))
         return blob, len(feats), skipped
 
-    def _encode_fast(pdf, zz, xx, yy, left, bottom, right, top):
-        """Batched fast path (mvt_fast.encode_tile_fast): one transform
-        for the whole tile + python command building; returns None if
-        any feature is not fast-eligible -> whole tile via kernel."""
-        from . import mvt_fast
-        items = list(zip(pdf[key].tolist(), pdf[geom].tolist()))
-        return mvt_fast.encode_tile_fast(
-            layer, extent, items, left, bottom, right, top)
-
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        from . import mvt_fast
         zz = int(pdf["z"].iloc[0])
         xx = int(pdf["x"].iloc[0])
         yy = int(pdf["y"].iloc[0])
         left, bottom, right, top = ktiles.tile_bounds_eq(zz, xx, yy)
         pdf = pdf.sort_values(key, kind="mergesort")
-        res = _encode_fast(pdf, zz, xx, yy, left, bottom, right, top)
+        keys_l, cols_l = _col_lists(pdf)
+        res = mvt_fast.encode_tile_cols(
+            layer, extent, keys_l, *cols_l, left, bottom, right, top)
         if res is None:
-            res = _encode_kernel(pdf, zz, xx, yy, left, bottom, right,
+            res = _encode_kernel(keys_l, cols_l, left, bottom, right,
                                  top)
         blob, n_feats, skipped = res
         return pd.DataFrame([{"z": zz, "x": xx, "y": yy,
