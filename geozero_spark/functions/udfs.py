@@ -204,37 +204,6 @@ def st_npoints():
     return _encode_udf(kbounds.npoints, IntegerType())
 
 
-def pip_refine():
-    """Exact even-odd ray-cast refine for the cell-prefiltered PIP join.
-
-    Args: (zone_id, poly_struct, px, py) per candidate row. Polygons are
-    decoded once per (batch, zone) and applied to the whole point slice
-    with the vectorized kernel (pip.points_in_polygon_np) — the Spark
-    dual of GEOS prepared-geometry reuse (geozero README.md:77-85).
-    """
-    from ..kernel import pip as kpip
-
-    @pandas_udf(BooleanType())
-    def f(zone: pd.Series, poly: pd.DataFrame, px: pd.Series,
-          py: pd.Series) -> pd.Series:
-        out = np.zeros(len(zone), dtype=bool)
-        if not len(zone):
-            return pd.Series(out)
-        pxv = px.to_numpy(dtype=np.float64)
-        pyv = py.to_numpy(dtype=np.float64)
-        # the caller may ship a slimmed struct (pip_join projects out
-        # bbox/t-lanes before the exchange); decode whatever fields
-        # are present — from_struct tolerates missing ones
-        fields = [k for k in _FIELDS if k in poly.columns]
-        for _, idx in zone.groupby(zone, sort=False).indices.items():
-            geom = sr.from_struct(
-                {k: poly[k].iloc[idx[0]] for k in fields})
-            out[idx] = kpip.points_in_polygon_np(pxv[idx], pyv[idx], geom)
-        return pd.Series(out)
-
-    return f
-
-
 def mvt_tile_stats():
     """Decode-own-output content check for the distributed MVT sink.
 

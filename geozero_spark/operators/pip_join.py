@@ -177,9 +177,13 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
     """
     pts = with_cell(points, lon, lat, res)
     if salt > 0:
+        # cast to int: the cogrouped refine hash-partitions each side
+        # on its own key type, and murmur3(long 3) != murmur3(int 3) —
+        # a bigint salt against the int sequence side silently strands
+        # groups in mismatched partitions
         pts = pts.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(lon), F.col(lat)),
-                            F.lit(salt)))
+                            F.lit(salt)).cast("int"))
         keys = ["cell", "_salt"]
     else:
         keys = ["cell"]
@@ -227,14 +231,12 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
     cover = explode_bbox_cover(
         polys.select(poly_key, poly_geom),
         res, bbox_col=f"{poly_geom}.bbox")
-    # slim the shuffled polygon payload to the fields the refine
-    # decodes (from_struct tolerates the missing ones) — bbox and the
-    # t-lanes are dead weight through the exchange, the same trick as
-    # the MVT cover (operators/tiling.py)
-    cover = cover.withColumn(poly_geom, F.struct(*[
-        F.col(f"{poly_geom}.{f}").alias(f)
-        for f in ("kind", "srid", "has_z", "has_m", "coords",
-                  "offs1", "offs2", "wkb")]))
+    # the candidate join ships NO geometry at all — just (zone, cell):
+    # the refine below re-attaches each polygon once per group, so the
+    # struct never rides the big exchange and never crosses Arrow
+    # per-candidate-row (the 3x cost the broadcast path avoids, now
+    # avoided distributed too)
+    cover = cover.select(poly_key, "cell")
     if prefilter:
         pts = pts.join(F.broadcast(cover.select("cell").distinct()),
                        on="cell", how="leftsemi")
@@ -246,9 +248,39 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
     # (generate nodes), so pin the shuffle join here — AQE still
     # handles skew splitting / partition coalescing at runtime
     cand = pts.join(cover.hint("shuffle_hash"), on=keys, how="inner")
-    refined = cand.withColumn(
-        "_inside",
-        udfs.pip_refine()(F.col(poly_key), F.col(poly_geom),
-                          F.col(lon), F.col(lat)))
-    drop = ["_inside", "cell", poly_geom] + (["_salt"] if salt else [])
-    return refined.where(F.col("_inside")).drop(*drop)
+
+    # cogrouped exact refine: candidates and polygons meet on
+    # (zone[, salt]); each group's geometry struct crosses the wire
+    # ONCE and the whole point slice is ray-cast vectorized. Salt
+    # spreads a hot zone's candidates over `salt` groups (the polygon
+    # row is duplicated salt times — the dimension side is cheap).
+    from ..kernel import pip as kpip
+    from ..kernel import structrepr as sr
+
+    gkeys = [poly_key] + (["_salt"] if salt else [])
+    # rename the dimension side's columns: cand and polys share
+    # lineage (the cover came from polys), and same-attribute grouping
+    # keys trip the ambiguous-self-join analyzer
+    pright = polys.select(F.col(poly_key).alias("_pk"),
+                          F.col(poly_geom).alias("_pg"))
+    rkeys = ["_pk"]
+    if salt > 0:
+        pright = pright.withColumn(
+            "_salt2", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        rkeys.append("_salt2")
+    out_proto = cand.drop("cell", *(["_salt"] if salt else []))
+    out_cols = out_proto.columns
+    out_schema = out_proto.schema
+
+    def refine(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return left.iloc[0:0][out_cols]
+        geom = sr.from_struct(right["_pg"].iloc[0])
+        mask = kpip.points_in_polygon_np(
+            left[lon].to_numpy(dtype=np.float64),
+            left[lat].to_numpy(dtype=np.float64), geom)
+        return left.loc[mask, out_cols]
+
+    return (cand.groupBy(*gkeys)
+            .cogroup(pright.groupBy(*rkeys))
+            .applyInPandas(refine, out_schema))
