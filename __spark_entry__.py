@@ -34,6 +34,12 @@ def _ship(spark: SparkSession) -> None:
     global _shipped
     if _shipped:
         return
+    # already deployed via spark-submit --py-files? (scripts/submit.sh)
+    # re-adding a zip of the same name with different bytes errors out
+    pyfiles = spark.sparkContext.getConf().get("spark.submit.pyFiles", "")
+    if pyfiles and "geozero_spark" in pyfiles:
+        _shipped = True
+        return
     z = os.path.join("/tmp", "geozero_spark_pkg.zip")
     pkg = os.path.join(_REPO, "geozero_spark")
     with zipfile.ZipFile(z, "w") as zf:
