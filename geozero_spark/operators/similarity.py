@@ -199,3 +199,97 @@ def ann_topk(queries: DataFrame, targets: DataFrame, k: int, dim: int,
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_key, target_key, "cosine", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN: deterministic coarse quantizer + probe search
+# ---------------------------------------------------------------------------
+#
+# The second classic ANN scale path next to LSH: a coarse quantizer
+# (k-means centroids) partitions the vectors; a query probes its
+# nearest `probe` centroids and reranks only those clusters' vectors
+# with the exact cosine. At 10^12 rows the cluster assignment is a
+# stored column (partition key), so a probe touches probe/k of the
+# data — the IVF dual of the LSH bucket join.
+#
+# Everything here is DETERMINISTIC and mirrored operation-for-
+# operation by the DuckDB oracle (oracles.py ann_ivf):
+# - centroid init: the vectors with target_key < k_clusters;
+# - Lloyd rounds: assignment = argmax cosine with (cos DESC, cid)
+#   tie-break; recompute = per-dimension mean where the sum FOLDS in
+#   ascending target_key order from 0.0 (array_sort(collect_list) +
+#   aggregate here, list(val ORDER BY t_id) + list_reduce there), so
+#   float addition order is bit-identical;
+# - probe/rerank reuse the exact-cosine fold of cosine_topk.
+
+
+def _cos_vs_centroid(vec: str, cvec: str) -> str:
+    dot = (f"aggregate(zip_with({vec}, {cvec}, (x, y) -> "
+           f"CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+           f"(acc, v) -> acc + v)")
+    cn = (f"aggregate({cvec}, CAST(0.0 AS DOUBLE), "
+          f"(acc, v) -> acc + v * v)")
+    return f"{dot} / (sqrt({norm2_expr(vec)}) * sqrt({cn}))"
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame, key: str,
+            vec: str, topn: int = 1) -> DataFrame:
+    """(key, cid) of the `topn` nearest centroids by cosine, ties by
+    cid — centroids are tiny and ride a broadcast."""
+    cand = vectors.select(key, vec).crossJoin(F.broadcast(centroids))
+    cand = cand.withColumn("_cos", F.expr(_cos_vs_centroid(vec, "cvec")))
+    w = Window.partitionBy(key).orderBy(F.col("_cos").desc(), "cid")
+    return (cand.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= topn).select(key, "cid"))
+
+
+def ivf_fit(targets: DataFrame, k_clusters: int, iters: int = 2,
+            target_key: str = "t_id", tvec: str = "tvec") -> DataFrame:
+    """Deterministic k-means: init from the first k target keys, then
+    `iters` Lloyd rounds. Returns (cid, cvec array<double>)."""
+    c = (targets.where(F.col(target_key) < k_clusters)
+         .select(F.col(target_key).cast("long").alias("cid"),
+                 F.expr(f"transform({tvec}, x -> CAST(x AS DOUBLE))")
+                 .alias("cvec")))
+    for _ in range(iters):
+        a = _assign(targets, c, target_key, tvec)
+        pe = (a.join(targets.select(target_key, tvec), on=target_key)
+              .select("cid", F.col(target_key).alias("_tk"),
+                      F.posexplode(tvec).alias("pos", "val")))
+        pm = (pe.groupBy("cid", "pos")
+              .agg(F.expr("aggregate(array_sort(collect_list("
+                          "struct(_tk, val))), CAST(0.0 AS DOUBLE), "
+                          "(acc, s) -> acc + s.val)").alias("_s"),
+                   F.count("*").alias("_n"))
+              .withColumn("m", F.col("_s") / F.col("_n").cast("double")))
+        c = pm.groupBy("cid").agg(F.expr(
+            "transform(array_sort(collect_list(struct(pos, m))), "
+            "s -> s.m)").alias("cvec"))
+    return c
+
+
+def ivf_topk(queries: DataFrame, targets: DataFrame, k: int,
+             k_clusters: int = 8, probe: int = 2, iters: int = 2,
+             query_key: str = "q_id", target_key: str = "t_id",
+             qvec: str = "qvec", tvec: str = "tvec",
+             exclude_self: bool = True) -> DataFrame:
+    """IVF-flat approximate top-k: (query_key, target_key, cosine,
+    rank). Candidates = vectors whose cluster is among the query's
+    `probe` nearest centroids; rerank is the exact cosine fold."""
+    c = ivf_fit(targets, k_clusters, iters=iters,
+                target_key=target_key, tvec=tvec)
+    t_assign = _assign(targets, c, target_key, tvec)
+    q_probe = _assign(queries, c, query_key, qvec, topn=probe)
+    cand = q_probe.join(t_assign, on="cid").select(query_key, target_key)
+    if exclude_self:
+        cand = cand.where(F.col(query_key) != F.col(target_key))
+    qn = queries.withColumn("_qn", F.expr(norm2_expr(qvec)))
+    tn = targets.withColumn("_tn", F.expr(norm2_expr(tvec)))
+    scored = (cand.join(qn, on=query_key).join(tn, on=target_key)
+              .withColumn("cosine", F.expr(
+                  f"{dot_expr(qvec, tvec)} / (sqrt(_qn) * sqrt(_tn))")))
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("cosine").desc(), F.col(target_key))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_key, target_key, "cosine", "rank"))

@@ -383,6 +383,121 @@ WITH {_ann_lsh_ctes()}
 SELECT q_id, t_id, cosine, rank FROM lsh_topk
 """
 
+def _cos_vs_cvec(vside: str, cside: str) -> str:
+    """Mirror of similarity._cos_vs_centroid: dot/norm folds in array
+    order from 0.0, so the doubles are bit-identical."""
+    dot = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           f"list_transform(range(1, length({vside}.embedding) + 1), "
+           f"i -> CAST({vside}.embedding[i] AS DOUBLE) * "
+           f"{cside}.cvec[i])), (acc, v) -> acc + v)")
+    cn = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          f"list_transform({cside}.cvec, x -> x * x)), "
+          f"(acc, v) -> acc + v)")
+    return f"{dot} / (sqrt({_norm2(vside)}) * sqrt({cn}))"
+
+
+def _ann_ivf_ctes() -> str:
+    """CTE chain replicating similarity.ivf_fit/ivf_topk verbatim:
+    centroid init from the first IVF_K vec_ids, IVF_ITERS Lloyd rounds
+    (assignment = argmax cosine with (cos DESC, cid) tie-break;
+    per-dim means fold in ascending vec_id order from 0.0 — the exact
+    dual of array_sort(collect_list)+aggregate), then probe + exact
+    rerank."""
+    parts = [
+        f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec "
+        f"FROM embeddings WHERE vec_id < {Q.IVF_K})"]
+    for it in range(Q.IVF_ITERS):
+        cos = _cos_vs_cvec("t", "c")
+        parts.append(f"""
+a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, c.cid,
+      row_number() OVER (PARTITION BY t.vec_id
+                         ORDER BY {cos} DESC, c.cid) AS rk
+    FROM embeddings t, c{it} c) WHERE rk = 1
+)""")
+        parts.append(f"""
+p{it} AS (
+  SELECT a.cid, t.vec_id AS tk,
+         generate_subscripts(t.embedding, 1) AS pos,
+         unnest(t.embedding) AS val
+  FROM a{it} a JOIN embeddings t ON t.vec_id = a.vec_id
+)""")
+        parts.append(f"""
+m{it} AS (
+  SELECT cid, pos,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(CAST(val AS DOUBLE) ORDER BY tk)), (acc, v) -> acc + v)
+      / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM p{it} GROUP BY cid, pos
+)""")
+        parts.append(f"c{it + 1} AS (SELECT cid, list(m ORDER BY pos) "
+                     f"AS cvec FROM m{it} GROUP BY cid)")
+    fin = f"c{Q.IVF_ITERS}"
+    cos_t = _cos_vs_cvec("t", "c")
+    cos_q = _cos_vs_cvec("q", "c")
+    parts.append(f"""
+ta AS (
+  SELECT vec_id AS t_id, cid FROM (
+    SELECT t.vec_id, c.cid,
+      row_number() OVER (PARTITION BY t.vec_id
+                         ORDER BY {cos_t} DESC, c.cid) AS rk
+    FROM embeddings t, {fin} c) WHERE rk = 1
+)""")
+    parts.append(f"""
+qp AS (
+  SELECT vec_id AS q_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY {cos_q} DESC, c.cid) AS rk
+    FROM (SELECT * FROM embeddings
+          WHERE vec_id % {Q.QUERY_MOD} = 0) q, {fin} c)
+  WHERE rk <= {Q.IVF_PROBE}
+)""")
+    parts.append(f"""
+ivf_topk AS (
+  SELECT q_id, t_id, cosine,
+    CAST(row_number() OVER (PARTITION BY q_id
+         ORDER BY cosine DESC, t_id) AS INTEGER) AS rank
+  FROM (
+    SELECT c.q_id, c.t_id,
+      {_dotq} / (sqrt({_norm2('q')}) * sqrt({_norm2('t')})) AS cosine
+    FROM (SELECT qp.q_id, ta.t_id FROM qp JOIN ta USING (cid)
+          WHERE qp.q_id != ta.t_id) c
+    JOIN embeddings q ON q.vec_id = c.q_id
+    JOIN embeddings t ON t.vec_id = c.t_id
+  )
+  QUALIFY rank <= {Q.ANN_K}
+)""")
+    return ",\n".join(parts)
+
+
+ORACLES["ann_ivf"] = f"""
+WITH {_ann_ivf_ctes()}
+SELECT q_id, t_id, cosine, rank FROM ivf_topk
+"""
+
+ORACLES["ann_ivf_recall"] = f"""
+WITH {_ann_ivf_ctes()},
+exact_topk AS (
+  SELECT q_id, t_id FROM (
+    SELECT q.vec_id AS q_id, t.vec_id AS t_id,
+      CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        {_dotq} / (sqrt({_norm2('q')}) * sqrt({_norm2('t')})) DESC,
+        t.vec_id) AS INTEGER) AS rank
+    FROM embeddings q, embeddings t
+    WHERE q.vec_id % {Q.QUERY_MOD} = 0 AND q.vec_id != t.vec_id
+  ) WHERE rank <= {Q.ANN_K}
+)
+SELECT e.q_id,
+  CAST(COUNT(l.t_id) AS BIGINT) AS n_hit,
+  CAST(COUNT(l.t_id) AS DOUBLE) / {sg.f64(float(Q.ANN_K))} AS recall
+FROM exact_topk e
+LEFT JOIN ivf_topk l ON e.q_id = l.q_id AND e.t_id = l.t_id
+GROUP BY e.q_id
+"""
+
 ORACLES["ann_recall"] = f"""
 WITH {_ann_lsh_ctes()},
 exact_topk AS (

@@ -38,6 +38,9 @@ EMB_DIM = 64
 LSH_BITS = 48   # 16 bands x 3 bits: measured recall@5 ~0.92 on the
 LSH_BANDS = 16  # synthetic embeddings (see tests/test_similarity.py)
 QUERY_MOD = 29  # doc_id % QUERY_MOD == 0 -> kNN/ANN query row
+IVF_K = 8       # IVF coarse-quantizer centroids
+IVF_PROBE = 2   # clusters probed per query
+IVF_ITERS = 2   # fixed Lloyd rounds (deterministic, oracle-mirrored)
 NUM_PERM = 16
 BANDS = 4
 SIG_SHOW = 8
@@ -646,6 +649,35 @@ def q_ann_recall(spark, sf_dir):
                         F.col("n_hit").cast("double") / F.lit(float(ANN_K))))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN — the coarse-quantizer scale path next to LSH:
+    deterministic k-means (init = first IVF_K vec_ids, IVF_ITERS Lloyd
+    rounds with sorted-fold means), probe IVF_PROBE nearest centroids,
+    exact-cosine rerank. Every float op is mirrored op-for-op by the
+    DuckDB oracle, so the approximate operator is fully content-
+    oracled (similarity.ivf_topk docstring has the parity contract)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (e.where(F.col("vec_id") % QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qvec")))
+    t = e.select(F.col("vec_id").alias("t_id"),
+                 F.col("embedding").alias("tvec"))
+    return similarity.ivf_topk(q, t, k=ANN_K, k_clusters=IVF_K,
+                               probe=IVF_PROBE, iters=IVF_ITERS)
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """recall@k of the IVF probe search vs the exact cosine top-k."""
+    exact = q_ann_cosine(spark, sf_dir).select("q_id", "t_id")
+    approx = (q_ann_ivf(spark, sf_dir)
+              .select("q_id", "t_id").withColumn("_hit", F.lit(1)))
+    joined = exact.join(approx, on=["q_id", "t_id"], how="left")
+    return (joined.groupBy("q_id")
+            .agg(F.count("_hit").cast("long").alias("n_hit"))
+            .withColumn("recall",
+                        F.col("n_hit").cast("double") / F.lit(float(ANN_K))))
+
+
 def q_lang_stats(spark, sf_dir):
     d = _documents(spark, sf_dir).select("doc_id", "text")
     out = textstats.quality_score(d)
@@ -768,6 +800,8 @@ QUERIES = {
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
     "ann_recall": q_ann_recall,
+    "ann_ivf": q_ann_ivf,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "lang_stats": q_lang_stats,
     "fingerprint": q_fingerprint,
     "streaming_cell_counts": q_streaming_cell_counts,

@@ -33,3 +33,18 @@ def test_ann_fast_mode_runs_same_shape(spark):
         per_q.setdefault(r.q_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in per_q.values())
+
+
+def test_ann_ivf_recall_floor(spark):
+    """IVF probe search quality: with probe=2 of 8 clusters each query
+    scans ~25% of the vectors; on the near-random synthetic embeddings
+    that bounds recall well below LSH's, but it must beat the
+    scan-fraction baseline by a wide margin (clusters are informative)
+    and stay deterministic."""
+    rows = Q.q_ann_ivf_recall(spark, SF_DIR).collect()
+    assert rows
+    mean = sum(r.recall for r in rows) / len(rows)
+    frac = Q.IVF_PROBE / Q.IVF_K
+    assert mean >= 1.6 * frac, (
+        f"mean IVF recall@{Q.ANN_K} {mean:.3f} is not meaningfully "
+        f"above the {frac:.2f} scan-fraction baseline")
