@@ -518,6 +518,26 @@ LEFT JOIN lsh_topk l ON e.q_id = l.q_id AND e.t_id = l.t_id
 GROUP BY e.q_id
 """
 
+_MW, _MH, _MF = P.MEDIA_W, P.MEDIA_H, P.MEDIA_F
+ORACLES["media_meta"] = f"""
+SELECT doc_id, 'VID1' AS kind,
+  CAST({_MW} AS INTEGER) AS width,
+  CAST({_MH} AS INTEGER) AS height,
+  CAST({_MF} AS INTEGER) AS n_frames,
+  CAST(greatest(1, ({_MW} * 64) // greatest({_MW}, {_MH}))
+       AS INTEGER) AS thumb_w,
+  CAST(greatest(1, ({_MH} * 64) // greatest({_MW}, {_MH}))
+       AS INTEGER) AS thumb_h,
+  CAST(least({_MF}, 3) AS INTEGER) AS n_sampled,
+  CAST(CASE least({_MF}, 3)
+       WHEN 1 THEN 0
+       WHEN 2 THEN {_MF} // 2
+       ELSE ({_MF} // 3) + ((2 * {_MF}) // 3) END AS BIGINT)
+    AS sample_sum,
+  CAST({_MF} AS INTEGER) AS payload_len
+FROM documents
+"""
+
 _toksd = th.tokens("text", D)
 _sw_cols = []
 for _lang, _words in textstats.STOPWORDS.items():

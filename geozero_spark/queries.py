@@ -678,6 +678,18 @@ def q_ann_ivf_recall(spark, sf_dir):
                         F.col("n_hit").cast("double") / F.lit(float(ANN_K))))
 
 
+def q_media_meta(spark, sf_dir):
+    """Multimodal binary column: decode-stub + resize/frame-sample
+    plan over an opaque media blob (operators/media.py docstring has
+    the real-codec slot); fully oracled because the fake container and
+    all derived math come from shared SQL arithmetic."""
+    from .operators import media
+    P.register_views(spark, sf_dir, tables=("documents",))
+    df = spark.sql(f"SELECT doc_id, {P.media_blob(sg.SPARK)} AS media "
+                   f"FROM documents")
+    return media.media_meta(df)
+
+
 def q_lang_stats(spark, sf_dir):
     d = _documents(spark, sf_dir).select("doc_id", "text")
     out = textstats.quality_score(d)
@@ -802,6 +814,7 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "media_meta": q_media_meta,
     "lang_stats": q_lang_stats,
     "fingerprint": q_fingerprint,
     "streaming_cell_counts": q_streaming_cell_counts,

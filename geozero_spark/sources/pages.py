@@ -147,6 +147,26 @@ GPX_XML = (
     f"</gpx>')")
 
 
+# --- fake media container per page (multimodal-column plumbing) ------------
+# A deterministic text-framed "video" blob: parseable header + payload,
+# shared SQL text so the oracle reconstructs every derived value from
+# the same arithmetic. Real codecs are opaque binary the same way; the
+# container here is fake, the Spark-side plumbing (binary column,
+# Arrow-batched header parse, resize/sample math) is the real thing.
+MEDIA_W = "(doc_id % 320 + 16)"
+MEDIA_H = "(doc_id % 200 + 16)"
+MEDIA_F = "(doc_id % 7 + 1)"
+
+_MEDIA_TXT = (f"('VID1;w=' || {_i(MEDIA_W)} || ';h=' || {_i(MEDIA_H)} || "
+              f"';f=' || {_i(MEDIA_F)} || ';' || repeat('p', {MEDIA_F}))")
+
+
+def media_blob(d: str) -> str:
+    if d == sg.SPARK:
+        return f"encode({_MEDIA_TXT}, 'UTF-8')"
+    return f"encode({_MEDIA_TXT})"
+
+
 # --- XYZM coordinate lanes: per-doc 3-point LINESTRING ZM -------------------
 # Z/M values are small integers derived from doc_id so they format
 # identically across engines and their sums cast back to exact BIGINTs.
