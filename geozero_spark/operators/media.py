@@ -40,10 +40,9 @@ MEDIA_SCHEMA = ("doc_id bigint, kind string, width int, height int, "
 
 
 def _parse_fake(blobs: pd.Series) -> pd.DataFrame:
-    """Vectorized fake-container parse: bytes -> header fields."""
-    txt = blobs.map(lambda b: None if b is None else
-                    bytes(b).decode("utf-8", "replace"))
-    s = pd.Series(txt, dtype="string")
+    """Vectorized fake-container parse: bytes -> header fields.
+    Malformed / null blobs yield NA fields (never a raise)."""
+    s = blobs.str.decode("utf-8", "replace").astype("string")
     ext = s.str.extract(r"^(VID1);w=(\d+);h=(\d+);f=(\d+);(p*)$")
     return pd.DataFrame({
         "kind": ext[0],
@@ -62,29 +61,31 @@ def media_meta(df: DataFrame, media_col: str = "media",
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             meta = _parse_fake(pdf[media_col])
-            w = meta["width"]
-            h = meta["height"]
-            f = meta["n_frames"]
-            m = w.combine(h, max)
+            # nullable Int64 end to end: a malformed or null blob
+            # yields a row of NULL metadata, never a task failure
+            w = meta["width"].astype("Int64")
+            h = meta["height"].astype("Int64")
+            f = meta["n_frames"].astype("Int64")
+            m = w.where(w >= h, h)
             tw = (w * thumb // m).clip(lower=1)
             th = (h * thumb // m).clip(lower=1)
             ns = f.clip(upper=max_frames)
             # sum of the evenly spaced frame indices k*f//ns
-            ssum = pd.Series(0, index=f.index, dtype="int64")
+            ssum = f - f  # NA-propagating zero
             for k in range(max_frames):
-                take = (ns > k)
-                ssum = ssum + (k * f // ns).where(take, 0)
+                ssum = ssum + (k * f // ns).where(ns > k, 0)
             yield pd.DataFrame({
                 "doc_id": pdf[key],
                 "kind": meta["kind"],
-                "width": w.astype("int32"),
-                "height": h.astype("int32"),
-                "n_frames": f.astype("int32"),
-                "thumb_w": tw.astype("int32"),
-                "thumb_h": th.astype("int32"),
-                "n_sampled": ns.astype("int32"),
-                "sample_sum": ssum.astype("int64"),
-                "payload_len": meta["payload_len"].astype("int32"),
+                "width": w.astype("Int32"),
+                "height": h.astype("Int32"),
+                "n_frames": f.astype("Int32"),
+                "thumb_w": tw.astype("Int32"),
+                "thumb_h": th.astype("Int32"),
+                "n_sampled": ns.astype("Int32"),
+                "sample_sum": ssum.astype("Int64"),
+                "payload_len":
+                    meta["payload_len"].astype("Int32"),
             })
 
     return df.mapInPandas(run, MEDIA_SCHEMA)

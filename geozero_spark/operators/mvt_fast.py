@@ -705,7 +705,6 @@ def _frame_layer_cols(name: str, extent: int, fids: np.ndarray,
     fid_blob, fid_len = varints_np(fids)
     val_blob, val_len = varints_np(value_ids)
     gl_blob, gl_len = varints_np(geom_len)
-    ones = np.ones(n, dtype=np.int64)
     taglen_b = (1 + val_len).astype(np.uint8)  # tags = 0x00 + varint(v)
     gtype_b = gtypes.astype(np.uint8)
 

@@ -250,25 +250,34 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
     cand = pts.join(cover.hint("shuffle_hash"), on=keys, how="inner")
 
     # cogrouped exact refine: candidates and polygons meet on
-    # (zone[, salt]); each group's geometry struct crosses the wire
-    # ONCE and the whole point slice is ray-cast vectorized. Salt
-    # spreads a hot zone's candidates over `salt` groups (the polygon
-    # row is duplicated salt times — the dimension side is cheap).
+    # (zone, salt); each group's geometry struct crosses the wire
+    # ONCE and the whole point slice is ray-cast vectorized. A group
+    # materializes as one pandas frame, so its size must be bounded:
+    # the salt lane spreads a zone's candidates over `salt` groups
+    # (zone_candidates / salt rows each; the polygon row is duplicated
+    # salt times — the dimension side is cheap). When the caller
+    # didn't salt the JOIN, a refine-only salt is derived here so an
+    # unsalted big-big call still can't concentrate a whole hot zone
+    # in one task; size `salt` to the hottest zone / a comfortable
+    # pandas frame (AQE cannot split UDF groups).
     from ..kernel import pip as kpip
     from ..kernel import structrepr as sr
 
-    gkeys = [poly_key] + (["_salt"] if salt else [])
+    refine_salt = salt if salt > 0 else 16
+    if salt == 0:
+        cand = cand.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(lon), F.col(lat)),
+                            F.lit(refine_salt)).cast("int"))
+    gkeys = [poly_key, "_salt"]
     # rename the dimension side's columns: cand and polys share
     # lineage (the cover came from polys), and same-attribute grouping
     # keys trip the ambiguous-self-join analyzer
-    pright = polys.select(F.col(poly_key).alias("_pk"),
-                          F.col(poly_geom).alias("_pg"))
-    rkeys = ["_pk"]
-    if salt > 0:
-        pright = pright.withColumn(
-            "_salt2", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-        rkeys.append("_salt2")
-    out_proto = cand.drop("cell", *(["_salt"] if salt else []))
+    pright = (polys.select(F.col(poly_key).alias("_pk"),
+                           F.col(poly_geom).alias("_pg"))
+              .withColumn("_salt2", F.explode(
+                  F.sequence(F.lit(0), F.lit(refine_salt - 1)))))
+    rkeys = ["_pk", "_salt2"]
+    out_proto = cand.drop("cell", "_salt")
     out_cols = out_proto.columns
     out_schema = out_proto.schema
 

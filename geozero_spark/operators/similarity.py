@@ -278,6 +278,11 @@ def ivf_topk(queries: DataFrame, targets: DataFrame, k: int,
     `probe` nearest centroids; rerank is the exact cosine fold."""
     c = ivf_fit(targets, k_clusters, iters=iters,
                 target_key=target_key, tvec=tvec)
+    # materialize the <= k_clusters centroid rows once: c is referenced
+    # twice below and its plan is the whole multi-round Lloyd chain —
+    # without this every reference re-runs the k-means end to end
+    spark = targets.sparkSession
+    c = spark.createDataFrame(c.collect(), schema=c.schema)
     t_assign = _assign(targets, c, target_key, tvec)
     q_probe = _assign(queries, c, query_key, qvec, topn=probe)
     cand = q_probe.join(t_assign, on="cid").select(query_key, target_key)

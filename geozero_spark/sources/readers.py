@@ -225,9 +225,10 @@ def read_shp_features(spark: SparkSession, path: str) -> DataFrame:
             .select("path", "record_idx", "geom", "props"))
 
 
-def _fetch_range(path: str, start: int, nbytes: int) -> bytes:
+def _fetch_range(path: str, start: int, nbytes: Optional[int]) -> bytes:
     """Range-read via pyarrow.fs so the same code path works on local
-    disk and on any URI-addressed filesystem Arrow can open."""
+    disk and on any URI-addressed filesystem Arrow can open.
+    ``nbytes=None`` reads to EOF (whole file)."""
     from pyarrow import fs as pafs
     if "://" in path:
         fsys, p = pafs.FileSystem.from_uri(path)
@@ -235,6 +236,8 @@ def _fetch_range(path: str, start: int, nbytes: int) -> bytes:
         fsys, p = pafs.LocalFileSystem(), path
     with fsys.open_input_file(p) as f:
         f.seek(start)
+        if nbytes is None:
+            return f.read()
         return f.read(nbytes)
 
 
@@ -256,7 +259,7 @@ def read_shp_indexed(spark: SparkSession, shp_path: str,
     from ..kernel import wkb as kwkb
 
     shx_path = _re.sub(r"\.shp$", ".shx", shp_path)
-    idx = kshp.read_shx(_fetch_range(shx_path, 0, 1 << 30))
+    idx = kshp.read_shx(_fetch_range(shx_path, 0, None))
     if n_splits is None:
         n_splits = spark.sparkContext.defaultParallelism
     total = sum(ln for _, ln in idx)

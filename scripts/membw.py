@@ -9,9 +9,11 @@ processes; aggregate GB/s vs P shows where the socket saturates.
 Usage: python scripts/membw.py [procs ...]   (default: 1 8 32)
 Prints one JSON line: {"levels": {"1": GBps, ...}, "n_doubles": ...}
 
-Counted traffic per triad pass = 3 arrays * 8 bytes * n (read b, read
-c, write a) — conservative: write-allocate makes real traffic ~4/3
-higher, so the reported ceiling understates the hardware.
+Counted traffic matches the two-op loop exactly: each iteration does
+np.multiply(c, s, out=a) (read c, write a) then np.add(a, b, out=a)
+(read a, read b, write a) = 5 arrays * 8 bytes * n. Write-allocate
+makes real traffic higher still, so the reported ceiling understates
+the hardware.
 """
 from __future__ import annotations
 

@@ -581,3 +581,20 @@ def test_pip_paths_identical_rows(spark):
         got = {(r.url, r.zone_id) for r in
                pj.pip_join(pts, polys, res=Q.PIP_RES, **kw).collect()}
         assert got == base, kw
+
+
+def test_media_meta_malformed_rows_null_not_fail(spark):
+    """A malformed or NULL media blob must yield NULL metadata, not a
+    task failure (real decoders routinely meet broken blobs)."""
+    from geozero_spark.operators import media
+    df = spark.createDataFrame(
+        [(1, bytearray(b"VID1;w=32;h=16;f=2;pp")),
+         (2, bytearray(b"NOT A CONTAINER")),
+         (3, None)],
+        "doc_id long, media binary")
+    rows = {r.doc_id: r for r in media.media_meta(df).collect()}
+    assert len(rows) == 3
+    assert rows[1].width == 32 and rows[1].thumb_w == 64 \
+        and rows[1].thumb_h == 32 and rows[1].sample_sum == 1
+    assert rows[2].kind is None and rows[2].width is None
+    assert rows[3].width is None and rows[3].sample_sum is None
