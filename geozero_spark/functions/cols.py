@@ -35,17 +35,13 @@ def scale_flat(geom: Column, factor: float) -> Column:
     ))
 
 
-# spread-bits masks — MUST stay identical to kernel/cells.py _spread
-# and functions/sqlgen._MASKS
-_SPREAD_MASKS = (
-    (16, 281470681808895),          # 0x0000FFFF0000FFFF
-    (8, 71777214294589695),         # 0x00FF00FF00FF00FF
-    (4, 1085102592571150095),       # 0x0F0F0F0F0F0F0F0F
-    (2, 3689348814741910323),       # 0x3333333333333333
-    (1, 6148914691236517205),       # 0x5555555555555555
-)
+# spread-bits masks: the single source of truth is sqlgen (which pins
+# kernel/cells.py parity in tests) — imported, not copied, so the
+# staged columns, the SQL text oracle and the kernel cannot drift
+from . import sqlgen as _sg
 
-_RES_SHIFT = 58
+_SPREAD_MASKS = _sg._MASKS
+_RES_SHIFT = _sg.RES_SHIFT
 
 
 def _spread_staged(df: DataFrame, src: Column, tmp: str) -> DataFrame:

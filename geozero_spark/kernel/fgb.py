@@ -348,7 +348,12 @@ def decode_feature(buf: bytes, pos: int, info: FgbInfo):
         if geom is not None:
             geom.srid = info.srid
     pp, pn = f.vector(1)
-    props = (_decode_properties(bytes(buf[pp:pp + pn]), info.columns)
+    # the spec allows a per-feature columns vector (field 2) that
+    # overrides the header schema (heterogeneous feature schemas)
+    fcols = [(c.string(0) or "", c.scalar(1, "<B", 0))
+             for c in f.vector_tables(2)]
+    props = (_decode_properties(bytes(buf[pp:pp + pn]),
+                                fcols if fcols else info.columns)
              if pn else {})
     return end, geom, props
 
@@ -358,11 +363,33 @@ def iter_features(buf: bytes, bbox: tuple | None = None):
     index-pruned scan when ``bbox=(minx,miny,maxx,maxy)`` is given
     (the reference's select_bbox / select_all split)."""
     info = read_info(buf)
+    if info.has_z or info.has_m:
+        # the xy vector is all this decoder reads; dropping the z/m
+        # vectors silently would corrupt 3D/4D data — refuse loudly
+        # (the reference fixture set is 2D; extend _decode_geometry
+        # with vector_f64(2)/(3) interleave if a 3D source appears)
+        raise FgbError("FlatGeobuf Z/M dimensions not supported")
     if bbox is not None:
-        for rel in search_index(buf, info, *bbox):
-            _, geom, props = decode_feature(
-                buf, info.feature_pos + rel, info)
-            yield geom, props
+        if info.index_node_size > 0 and info.features_count > 0:
+            for rel in search_index(buf, info, *bbox):
+                _, geom, props = decode_feature(
+                    buf, info.feature_pos + rel, info)
+                yield geom, props
+            return
+        # no spatial index in this file: sequential scan with an
+        # envelope filter (same result set, no hard failure — one
+        # unindexed file must not abort a whole directory scan)
+        from . import bounds as _bounds
+        minx, miny, maxx, maxy = bbox
+        for geom, props in iter_features(buf):
+            if geom is None:
+                continue
+            bb = _bounds.bounds(geom)
+            if bb is None:
+                continue
+            if (bb[0] <= maxx and bb[2] >= minx
+                    and bb[1] <= maxy and bb[3] >= miny):
+                yield geom, props
         return
     pos = info.feature_pos
     n = 0

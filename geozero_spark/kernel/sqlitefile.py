@@ -20,6 +20,7 @@ decoded row against Python's stdlib sqlite3 on the same file.
 
 from __future__ import annotations
 
+import re as _re
 import struct
 
 HEADER_MAGIC = b"SQLite format 3\x00"
@@ -169,11 +170,23 @@ class SqliteFile:
 
     @staticmethod
     def _split_defs(create_sql: str) -> list[str]:
-        """Top-level comma-split of the CREATE TABLE parenthesis."""
+        """Top-level comma-split of the CREATE TABLE parenthesis —
+        quote-aware, so commas/parens inside quoted identifiers or
+        string defaults don't shift the column list."""
         s = create_sql[create_sql.index("(") + 1:]
         depth, cur, defs = 0, [], []
+        close = None  # active quote's closing char
         for ch in s:
-            if ch == "(":
+            if close is not None:
+                cur.append(ch)
+                if ch == close:
+                    close = None
+                continue
+            if ch in ('"', "'", "`"):
+                close = ch
+            elif ch == "[":
+                close = "]"
+            elif ch == "(":
                 depth += 1
             elif ch == ")":
                 if depth == 0:
@@ -186,6 +199,33 @@ class SqliteFile:
                 continue
             cur.append(ch)
         return defs
+
+    @staticmethod
+    def _lead_ident(d: str) -> tuple[str, str, bool]:
+        """Leading identifier of a column def -> (name, rest, quoted).
+        Handles "..."/'...'/`...`/[...] quoting incl. doubled-quote
+        escapes, so names with spaces parse whole."""
+        d = d.lstrip()
+        if not d:
+            return "", "", False
+        closers = {'"': '"', "`": "`", "'": "'", "[": "]"}
+        ch = d[0]
+        if ch in closers:
+            close = closers[ch]
+            i, out = 1, []
+            while i < len(d):
+                if d[i] == close:
+                    if (close != "]" and i + 1 < len(d)
+                            and d[i + 1] == close):
+                        out.append(close)
+                        i += 2
+                        continue
+                    return "".join(out), d[i + 1:], True
+                out.append(d[i])
+                i += 1
+            return "".join(out), "", True
+        m = _re.match(r"[^\s(]+", d)
+        return m.group(0), d[m.end():], False
 
     _CONSTRAINT_WORDS = ("CONSTRAINT", "PRIMARY", "UNIQUE", "CHECK",
                          "FOREIGN")
@@ -200,19 +240,21 @@ class SqliteFile:
         names, types, ipk = [], {}, None
         pk_cols = None
         for d in cls._split_defs(create_sql):
-            toks = d.strip().split()
-            if not toks:
+            head, rest, quoted = cls._lead_ident(d)
+            if not head:
                 continue
-            head = toks[0].strip('"`[]')
-            up = " ".join(toks).upper()
-            if head.upper() in cls._CONSTRAINT_WORDS:
+            up = d.upper()
+            # a quoted leading identifier is always a column name —
+            # only bare words can start a table-level constraint
+            if not quoted and head.upper() in cls._CONSTRAINT_WORDS:
                 if "PRIMARY KEY" in up and "(" in d:
                     inner = d[d.index("(") + 1:d.rindex(")")]
                     pk_cols = [c.strip().strip('"`[]')
                                for c in inner.split(",")]
                 continue
             names.append(head)
-            typ = toks[1].strip('"`[]').upper() if len(toks) > 1 else ""
+            rtoks = rest.split()
+            typ = rtoks[0].strip('"`[]').upper() if rtoks else ""
             types[head] = typ
             if "PRIMARY KEY" in up and typ == "INTEGER":
                 ipk = head

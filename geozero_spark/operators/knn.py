@@ -345,18 +345,14 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
                                    on=query_key, how="left_anti").persist()
         to_unpersist.append(remaining)
         radius *= 2
-    if len(settled_parts) == 1:
-        # common case: everything settled in round 1 — the output is a
-        # filter over the already-cached round frame; no extra
-        # materialization pass needed (upstream caches may be released:
-        # the result is served from the round cache)
-        for df in to_unpersist:
-            df.unpersist()
-        return settled_parts[0]
     out = settled_parts[0]
     for p in settled_parts[1:]:
         out = out.unionByName(p)
-    # materialize the result before releasing intermediate caches
+    # materialize the result before releasing intermediate caches —
+    # including the single-round case: returning a filter over a
+    # still-cached round frame leaked one persisted DataFrame per call
+    # (the caller has no handle to release it); the extra pass is a
+    # cheap cache-served filter
     out = out.persist()
     out.count()
     for df in to_unpersist + keep_cached:

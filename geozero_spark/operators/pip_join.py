@@ -31,6 +31,8 @@ while pruning >95% of candidates.
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -66,7 +68,6 @@ def explode_bbox_cover(df: DataFrame, res: int, bbox_col: str = "bbox",
     ix1 = gi(f"element_at({bbox_col}, 3)", 360.0, 180.0)
     iy0 = gi(f"element_at({bbox_col}, 2)", 180.0, 90.0)
     iy1 = gi(f"element_at({bbox_col}, 4)", 180.0, 90.0)
-    from ..functions import cols as _cols
     out_df = (df
               # empty geometries carry bbox=[]; under ANSI element_at
               # would fail the whole job instead of skipping the feature
@@ -77,35 +78,35 @@ def explode_bbox_cover(df: DataFrame, res: int, bbox_col: str = "bbox",
                           F.expr(f"explode(sequence({iy0}, {iy1}))")))
     # staged Morton assembly (cols.with_cell_from_ixiy) — the textual
     # make_cell form costs seconds of cold parse+codegen per plan
-    return (_cols.with_cell_from_ixiy(out_df, "ix", "iy", res, out=out)
+    return (cols.with_cell_from_ixiy(out_df, "ix", "iy", res, out=out)
             .drop("ix", "iy"))
 
 
 _BROADCAST_POLY_LIMIT = 100_000
 
-# prepared polygon-side state, keyed by (appId, polys plan semanticHash,
-# res, poly_key, poly_geom): the collected rows, decoded poly map
-# (already broadcast) and the kernel cell cover. A dimension table
-# joined repeatedly (the common pattern: one admin/zone dim, many point
-# queries) pays the take-job + decode + cover exactly once per session.
-_PREPARED: dict = {}
-_PREPARED_MAX = 16
+# prepared polygon-side state, keyed by the polys DataFrame OBJECT
+# (weakly): the collected rows, decoded poly map (already broadcast)
+# and the kernel cell cover. A dimension table joined repeatedly (the
+# common pattern: one admin/zone dim object, many point queries) pays
+# the take-job + decode + cover exactly once. Object identity — not a
+# plan hash — so a fresh read of an overwritten path can never be
+# served stale polygons, and two different dims can never collide;
+# the cache empties itself when the caller drops the DataFrame.
+_PREPARED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _prepare_broadcast_polys(polys: DataFrame, res: int, poly_key: str,
                              poly_geom: str):
-    """Collect + decode + cover the polygon side once per (plan, res)."""
+    """Collect + decode + cover the polygon side once per (df object,
+    res, columns)."""
     from ..kernel import cells as kcells
     from ..kernel import structrepr as sr
 
     spark = polys.sparkSession
-    try:
-        key = (spark.sparkContext.applicationId,
-               polys.semanticHash(), res, poly_key, poly_geom)
-    except Exception:
-        key = None
-    if key is not None and key in _PREPARED:
-        return _PREPARED[key]
+    subkey = (res, poly_key, poly_geom)
+    cached = _PREPARED.get(polys)
+    if cached is not None and subkey in cached:
+        return cached[subkey]
 
     # ONE job for guard + collect: take(limit+1) both bounds the
     # driver memory and fetches the rows (a separate count job was
@@ -144,10 +145,10 @@ def _prepare_broadcast_polys(polys: DataFrame, res: int, poly_key: str,
             f"pip_join broadcast cover has {len(cover_rows)} cells at "
             f"res={res}; use a coarser res or broadcast_polys=False")
     prepared = (bc, cover_rows)
-    if key is not None:
-        if len(_PREPARED) >= _PREPARED_MAX:
-            _PREPARED.pop(next(iter(_PREPARED)))
-        _PREPARED[key] = prepared
+    try:
+        _PREPARED.setdefault(polys, {})[subkey] = prepared
+    except TypeError:
+        pass  # unhashable/unweakref-able DataFrame subclass: no cache
     return prepared
 
 

@@ -304,42 +304,26 @@ def read_shp_indexed(spark: SparkSession, shp_path: str,
     return out.withColumn("geom", dec("_wkb")).drop("_wkb")
 
 
-def read_fgb(spark: SparkSession, path: str,
-             bbox: tuple | None = None) -> DataFrame:
-    """FlatGeobuf scan (the reference's flagship format — README.md:
-    88-95, geozero-bench/benches/geobench.rs:23-38): one row per
-    feature with (path, feature_idx, geom struct, props map).
-
-    ``bbox=(minx,miny,maxx,maxy)`` pushes the packed-Hilbert-R-tree
-    search INTO the scan (kernel/fgb.search_index): each file prunes to
-    index hits before decoding — the distributed analogue of the
-    reference's select_bbox streaming read. feature_idx numbers the
-    EMITTED rows per file (hit order == ascending file offset).
-
-    binaryFile source -> kernel decode to per-feature EWKB + JSON props
-    (one Arrow batch per file) -> JVM posexplode -> WKB decode to the
-    geometry struct. Directories of .fgb files parallelize by file; for
-    one giant file the index makes SINGLE-RANGE reads possible, but a
-    finer split needs a range-aware source (documented limit, as with
-    read_shp)."""
+def _feature_blob_scan(spark: SparkSession, path: str, glob: str,
+                       feat_iter) -> DataFrame:
+    """Shared feature-file scan plumbing: binaryFile -> per-file
+    kernel iterator yielding (Geom|None, props dict) -> one JSON
+    string per feature (wkb hex + stringified props; pyspark's Arrow
+    serializer crashes on struct-typed UDF outputs — types.py metadata
+    bug, see CLAUDE.md) -> JVM posexplode + from_json/unhex -> decoded
+    geometry struct + props map. One row per feature:
+    (path, feature_idx, geom, props)."""
+    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
-    from ..kernel import fgb as kfgb
     from ..kernel import wkb as kwkb
 
-    from pyspark.sql.functions import pandas_udf
-
-    # one JSON string per feature (wkb hex + props): pyspark's Arrow
-    # serializer crashes on struct-typed UDF outputs (types.py metadata
-    # bug — see CLAUDE.md), so the struct is assembled JVM-side with
-    # from_json/unhex instead
     @pandas_udf(ArrayType(StringType()))
-    def fgb_records(content: pd.Series) -> pd.Series:
+    def records(content: pd.Series) -> pd.Series:
         out = []
         for buf in content:
             rows = []
-            for geom, props in kfgb.iter_features(bytes(buf),
-                                                  bbox=bbox):
+            for geom, props in feat_iter(bytes(buf)):
                 blob = (None if geom is None else
                         kwkb.encode(geom, dialect=kwkb.DIALECT_EWKB))
                 rows.append(json.dumps({
@@ -351,8 +335,8 @@ def read_fgb(spark: SparkSession, path: str,
 
     dec = udfs.st_geomfromwkb(dialect="ewkb")
     raw = (spark.read.format("binaryFile")
-           .option("pathGlobFilter", "*.fgb").load(path)
-           .select("path", fgb_records(F.col("content")).alias("_recs")))
+           .option("pathGlobFilter", glob).load(path)
+           .select("path", records(F.col("content")).alias("_recs")))
     return (raw.select(
         "path", F.posexplode_outer("_recs").alias("feature_idx", "_j"))
         .withColumn("_r", F.from_json(
@@ -362,6 +346,27 @@ def read_fgb(spark: SparkSession, path: str,
             dec(F.unhex(F.col("_r.wkb")))))
         .withColumn("props", F.col("_r.props"))
         .drop("_j", "_r"))
+
+
+def read_fgb(spark: SparkSession, path: str,
+             bbox: tuple | None = None) -> DataFrame:
+    """FlatGeobuf scan (the reference's flagship format — README.md:
+    88-95, geozero-bench/benches/geobench.rs:23-38): one row per
+    feature with (path, feature_idx, geom struct, props map).
+
+    ``bbox=(minx,miny,maxx,maxy)`` pushes the packed-Hilbert-R-tree
+    search INTO the scan (kernel/fgb.search_index): each file prunes to
+    index hits before decoding — the distributed analogue of the
+    reference's select_bbox streaming read (an unindexed file falls
+    back to a filtered sequential scan). feature_idx numbers the
+    EMITTED rows per file (hit order == ascending file offset).
+    Directories of .fgb files parallelize by file; for one giant file
+    the index makes SINGLE-RANGE reads possible, but a finer split
+    needs a range-aware source (documented limit, as with read_shp)."""
+    from ..kernel import fgb as kfgb
+    return _feature_blob_scan(
+        spark, path, "*.fgb",
+        lambda buf: kfgb.iter_features(buf, bbox=bbox))
 
 
 def read_gpkg(spark: SparkSession, path: str,
@@ -373,40 +378,8 @@ def read_gpkg(spark: SparkSession, path: str,
     struct + props map. One row per feature of ``table`` (default: the
     file's first registered geometry table). Directories of .gpkg
     files parallelize by file."""
-    from pyspark.sql.types import ArrayType, StringType
-
     from ..kernel import gpkg as kgpkg
-    from ..kernel import wkb as kwkb
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf(ArrayType(StringType()))
-    def gpkg_records(content: pd.Series) -> pd.Series:
-        out = []
-        for buf in content:
-            rows = []
-            for props, geom in kgpkg.read_features(bytes(buf),
-                                                   table=table):
-                blob = (None if geom is None else
-                        kwkb.encode(geom, dialect=kwkb.DIALECT_EWKB))
-                rows.append(json.dumps({
-                    "wkb": None if blob is None else blob.hex(),
-                    "props": {k: None if v is None else str(v)
-                              for k, v in props.items()}}))
-            out.append(rows)
-        return pd.Series(out, dtype=object)
-
-    dec = udfs.st_geomfromwkb(dialect="ewkb")
-    raw = (spark.read.format("binaryFile")
-           .option("pathGlobFilter", "*.gpkg").load(path)
-           .select("path",
-                   gpkg_records(F.col("content")).alias("_recs")))
-    return (raw.select(
-        "path", F.posexplode_outer("_recs").alias("feature_idx", "_j"))
-        .withColumn("_r", F.from_json(
-            "_j", "wkb string, props map<string,string>"))
-        .withColumn("geom", F.when(
-            F.col("_r.wkb").isNotNull(),
-            dec(F.unhex(F.col("_r.wkb")))))
-        .withColumn("props", F.col("_r.props"))
-        .drop("_j", "_r"))
+    return _feature_blob_scan(
+        spark, path, "*.gpkg",
+        lambda buf: ((geom, props) for props, geom
+                     in kgpkg.read_features(buf, table=table)))

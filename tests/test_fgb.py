@@ -100,3 +100,39 @@ def test_read_fgb_spark(spark):
     assert sorted(r.props["id"] for r in hits) == [
         "AUT", "CHE", "DEU", "DNK", "FRA", "RUS"]
     assert [r.feature_idx for r in hits] == list(range(6))
+
+
+def test_bbox_fallback_without_index(monkeypatch):
+    """bbox query on an unindexed file = sequential scan + envelope
+    filter, same result set as the R-tree search (no hard failure)."""
+    import dataclasses
+
+    buf = _buf()
+    bbox = (8.8, 47.2, 9.5, 55.3)
+    indexed = [p.get("name") for g, p in fgb.iter_features(buf, bbox)]
+
+    real_read_info = fgb.read_info
+
+    def no_index(b):
+        return dataclasses.replace(real_read_info(b), index_node_size=0)
+
+    monkeypatch.setattr(fgb, "read_info", no_index)
+    fallback = [p.get("name") for g, p in fgb.iter_features(buf, bbox)]
+    assert sorted(fallback) == sorted(indexed) and len(indexed) == 6
+
+
+def test_zm_files_refused_loudly():
+    import dataclasses
+
+    buf = _buf()
+    real = fgb.read_info(buf)
+    import pytest as _pytest
+    for field in ("has_z", "has_m"):
+        info3d = dataclasses.replace(real, **{field: True})
+        orig = fgb.read_info
+        try:
+            fgb.read_info = lambda b: info3d
+            with _pytest.raises(fgb.FgbError, match="Z/M"):
+                list(fgb.iter_features(buf))
+        finally:
+            fgb.read_info = orig

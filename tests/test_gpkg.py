@@ -87,3 +87,19 @@ def test_read_gpkg_spark(spark):
     assert (g.kind, g.srid) == (1, 4326)
     assert list(g.coords) == [1.1, 1.1]
     assert by_name["delta"].geom is None
+
+
+def test_parse_columns_quoted_identifiers():
+    """Quoted names with spaces/commas and quoted constraint-words-as-
+    column-names must parse whole (a miss here silently yields
+    geom=None for every feature of that table)."""
+    from geozero_spark.kernel.sqlitefile import SqliteFile as S
+    sql = ('CREATE TABLE t ("my geom" BLOB, "a,b" TEXT, '
+           '"PRIMARY" INTEGER, id INTEGER PRIMARY KEY, '
+           'CONSTRAINT u UNIQUE (id))')
+    names, ipk = S.parse_columns(sql)
+    assert names == ["my geom", "a,b", "PRIMARY", "id"]
+    assert ipk == "id"
+    names2, ipk2 = S.parse_columns(
+        "CREATE TABLE x (id INTEGER, name TEXT, PRIMARY KEY (id))")
+    assert names2 == ["id", "name"] and ipk2 == "id"

@@ -598,3 +598,33 @@ def test_media_meta_malformed_rows_null_not_fail(spark):
         and rows[1].thumb_h == 32 and rows[1].sample_sum == 1
     assert rows[2].kind is None and rows[2].width is None
     assert rows[3].width is None and rows[3].sample_sum is None
+
+
+def test_pip_broadcast_cache_not_stale(spark, tmpdir_path):
+    """The prepared-polygon cache is keyed by DataFrame OBJECT: a
+    fresh read of an overwritten path must see the new polygons, never
+    a cached stale set (plan-hash keying would alias them)."""
+    from geozero_spark.functions import udfs
+    from geozero_spark.operators import pip_join as pj
+
+    dec = udfs.st_geomfromwkt()
+    path = os.path.join(tmpdir_path, "zones_pq")
+    pts = spark.createDataFrame([(1, 0.5, 0.5)], "pid long, "
+                                "lon double, lat double")
+
+    def write(wkt_str):
+        (spark.createDataFrame([(7, wkt_str)], "zone_id long, w string")
+         .write.mode("overwrite").parquet(path))
+
+    def load():
+        return (spark.read.parquet(path)
+                .withColumn("poly", dec("w")).select("zone_id", "poly"))
+
+    write("POLYGON((0 0,1 0,1 1,0 1,0 0))")   # contains (0.5, 0.5)
+    assert pj.pip_join(pts, load(), res=4).count() == 1
+    write("POLYGON((5 5,6 5,6 6,5 6,5 5))")   # far away
+    assert pj.pip_join(pts, load(), res=4).count() == 0
+    # same OBJECT reuse is served from cache and stays correct
+    polys = load()
+    assert pj.pip_join(pts, polys, res=4).count() == 0
+    assert pj.pip_join(pts, polys, res=4).count() == 0
