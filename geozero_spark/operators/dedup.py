@@ -25,13 +25,56 @@ _D = sg.SPARK
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                key: str = "doc_id") -> DataFrame:
-    """Keep one row (min key) per exact text value; hash-groupBy with
-    map-side partial aggregation. Returns (key, n_dups)."""
-    return (df.groupBy(text_col)
+                key: str = "doc_id", fast: bool = False,
+                verify: bool = False) -> DataFrame:
+    """Keep one row (min key) per exact text value. Returns
+    (keep_<key>, n_dups).
+
+    The groupBy key is a 128-bit deterministic TEXT HASH, not the text
+    itself — on a mostly-unique 100 TB corpus a ``groupBy(text)`` puts
+    the whole payload on the exchange; hashing first means only two
+    int64 columns + the key ride the shuffle (map-side partial agg
+    still applies).
+
+    - ``fast=True``  : two salted xxhash64 (JVM intrinsic) — scale path.
+    - ``fast=False`` : two-seed portable polynomial hash, mirrored
+      bit-identically by the DuckDB oracle (functions/texthash.py).
+    - ``verify=True``: adds an exact in-bucket confirmation pass — only
+      rows whose hash bucket holds >= 2 members are re-read and
+      re-grouped by full text, so at scale just the duplicate fraction
+      of the corpus ever shuffles its payload; hash collisions across
+      distinct texts are then split correctly instead of merged.
+    """
+    if fast:
+        hashed = (df.select(key, text_col)
+                  .withColumn("_h1", F.expr(f"xxhash64({text_col})"))
+                  .withColumn("_h2", F.expr(f"xxhash64({text_col}, 7)")))
+    else:
+        # char-code array materialized ONCE: two fold_hash references
+        # would otherwise re-split the text per seed (Catalyst re-inlines
+        # shared subtrees — measured trap, see minhash_signatures)
+        hashed = (df.select(key, text_col)
+                  .withColumn("_cc", F.expr(th.char_codes(text_col, _D)))
+                  .withColumn("_h1", F.expr(
+                      th.fold_hash("_cc", _D, seed=th.SEED)))
+                  .withColumn("_h2", F.expr(
+                      th.fold_hash("_cc", _D, seed=101)))
+                  .drop("_cc"))
+    agg = (hashed.drop(text_col)  # payload never reaches the exchange
+           .groupBy("_h1", "_h2")
+           .agg(F.min(key).alias("keep_" + key),
+                F.count("*").alias("n_dups")))
+    if not verify:
+        return agg.select("keep_" + key, "n_dups")
+    singles = (agg.where(F.col("n_dups") == 1)
+               .select("keep_" + key, "n_dups"))
+    dup_buckets = agg.where(F.col("n_dups") >= 2).select("_h1", "_h2")
+    dups = (hashed.join(dup_buckets, on=["_h1", "_h2"], how="leftsemi")
+            .groupBy("_h1", "_h2", text_col)
             .agg(F.min(key).alias("keep_" + key),
                  F.count("*").alias("n_dups"))
             .select("keep_" + key, "n_dups"))
+    return singles.unionByName(dups)
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -135,7 +178,8 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 48,
 
 def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_bucket: int = 100000) -> DataFrame:
     """Exact character-n-gram Jaccard with provably LOSSLESS blocking.
 
     J(A,B) >= t implies |A inter B| <= min(|A|,|B|) and
@@ -147,6 +191,13 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id",
     distinct-gram set (and Jaccard) unchanged (round-1 judge finding).
     The final exact jaccard >= t filter decides membership, so the
     operator is exact, with blocking only bounding the join.
+
+    The within-bucket join is still all-pairs, so one degenerate bucket
+    (billions of same-glen docs) would go quadratic: ``max_bucket``
+    drops rows in oversized glen buckets before the join (the same
+    skew bound minhash_lsh_pairs applies to its LSH buckets). Within a
+    kept bucket the pair count is <= max_bucket^2 — this operator is a
+    VERIFY stage; use minhash_lsh_pairs to bound candidates globally.
     """
     if not (0.0 < threshold < 1.0):
         raise ValueError("threshold must be in (0, 1)")
@@ -159,6 +210,10 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id",
                 f"CAST(floor(ln(greatest(glen, 1)) / "
                 f"ln(CAST({base_ratio!r} AS DOUBLE))) AS BIGINT)"))
             .drop(text_col))
+    if max_bucket is not None:
+        sizes = base.groupBy("bucket").agg(F.count("*").alias("_bn"))
+        base = (base.join(sizes, on="bucket")
+                .where(F.col("_bn") <= max_bucket).drop("_bn"))
     # the smaller-key side probes all 3 adjacent buckets so a cross-
     # bucket pair is found regardless of which side has the smaller key;
     # a.jbucket == b.bucket holds for exactly one jbucket per pair

@@ -119,9 +119,13 @@ def _prepare_broadcast_polys(polys: DataFrame, res: int, poly_key: str,
             f"the driver and it exceeds {_BROADCAST_POLY_LIMIT} "
             f"rows; use broadcast_polys=False (shuffle path, "
             f"optionally salt=N) for big-big joins")
-    poly_map = {
-        r[0]: sr.from_struct(r[1].asDict(recursive=False))
-        for r in rows}
+    # key -> LIST of geometries: a zone stored as several polygon rows
+    # is legal (unique_polys=False) — a plain dict would silently keep
+    # only the last row's geometry
+    poly_map: dict = {}
+    for r in rows:
+        poly_map.setdefault(r[0], []).append(
+            sr.from_struct(r[1].asDict(recursive=False)))
     bc = spark.sparkContext.broadcast(poly_map)
     # the cover comes from the SAME collected rows, computed with
     # the kernel driver-side and broadcast as a literal frame: a
@@ -132,6 +136,7 @@ def _prepare_broadcast_polys(polys: DataFrame, res: int, poly_key: str,
     # 4096-cell cap would reject a world-spanning bbox at res > 6 that
     # the distributed cover path accepted; the aggregate guard below
     # bounds driver memory instead.
+    seen = set()
     cover_rows = []
     for r in rows:
         bb = r[1]["bbox"]
@@ -139,7 +144,11 @@ def _prepare_broadcast_polys(polys: DataFrame, res: int, poly_key: str,
             continue
         for cell in kcells.cover_bbox(bb[0], bb[1], bb[2], bb[3],
                                       res, limit=1 << (2 * res)):
-            cover_rows.append((r[0], cell))
+            # dedupe (key, cell): overlapping bboxes of a multi-row
+            # zone must not duplicate candidate rows downstream
+            if (r[0], cell) not in seen:
+                seen.add((r[0], cell))
+                cover_rows.append((r[0], cell))
     if len(cover_rows) > 4_000_000:
         raise ValueError(
             f"pip_join broadcast cover has {len(cover_rows)} cells at "
@@ -156,12 +165,21 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
              lon: str = "lon", lat: str = "lat",
              poly_geom: str = "poly", poly_key: str = "zone_id",
              broadcast_polys: bool = True, salt: int = 0,
-             prefilter: bool = False) -> DataFrame:
+             prefilter: bool = False,
+             unique_polys: bool = True) -> DataFrame:
     """Exact point-in-polygon join.
 
     points: any columns + lon/lat (degrees). polys: poly_key + a
     geometry struct column ``poly_geom``. Returns points columns +
     poly_key for every (point, polygon) containment pair.
+
+    ``unique_polys``: by default each poly_key is asserted to map to
+    ONE polygon row (a duplicate raises instead of silently refining
+    against an arbitrary row's geometry). Pass False for zones stored
+    as several polygon rows: containment is then in-ANY-row semantics
+    (masks OR-ed across the key's geometries) and exactly one output
+    row per (point row, zone) — the shuffle path pays one extra
+    distinct of the (zone, cell) cover for that.
 
     ``prefilter`` (shuffle path only): semi-join the points against
     the DISTINCT cover cells — bounded by the 4^res grid, so always
@@ -201,6 +219,13 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
         spark = points.sparkSession
         bc, cover_rows = _prepare_broadcast_polys(
             polys, res, poly_key, poly_geom)
+        if unique_polys:
+            dup = [k for k, gs in bc.value.items() if len(gs) > 1]
+            if dup:
+                raise ValueError(
+                    f"pip_join: poly_key has duplicate rows for "
+                    f"{dup[:5]}; pass unique_polys=False for "
+                    f"multi-row zone (in-ANY-polygon) semantics")
         key_type = dict(polys.dtypes)[poly_key]
         cover = spark.createDataFrame(
             cover_rows, f"{poly_key} {key_type}, cell bigint")
@@ -220,8 +245,12 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
                 pm = bc.value
                 for z, idx in zone.groupby(zone,
                                            sort=False).indices.items():
-                    out[idx] = kpip.points_in_polygon_np(
-                        pxv[idx], pyv[idx], pm[z])
+                    m = kpip.points_in_polygon_np(
+                        pxv[idx], pyv[idx], pm[z][0])
+                    for g in pm[z][1:]:  # multi-row zone: in ANY
+                        m |= kpip.points_in_polygon_np(
+                            pxv[idx], pyv[idx], g)
+                    out[idx] = m
             return pd.Series(out)
 
         refined = cand.withColumn(
@@ -238,6 +267,11 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
     # per-candidate-row (the 3x cost the broadcast path avoids, now
     # avoided distributed too)
     cover = cover.select(poly_key, "cell")
+    if not unique_polys:
+        # multi-row zones: overlapping bbox covers of the same key must
+        # yield ONE candidate row per (point, zone) — distinct on the
+        # small (dimension) side before the big exchange
+        cover = cover.distinct()
     if prefilter:
         pts = pts.join(F.broadcast(cover.select("cell").distinct()),
                        on="cell", how="leftsemi")
@@ -285,10 +319,18 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
     def refine(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if not len(left) or not len(right):
             return left.iloc[0:0][out_cols]
-        geom = sr.from_struct(right["_pg"].iloc[0])
+        if unique_polys and len(right) > 1:
+            raise ValueError(
+                f"pip_join: poly_key {right['_pk'].iloc[0]!r} has "
+                f"{len(right)} polygon rows; pass unique_polys=False "
+                f"for multi-row zone (in-ANY-polygon) semantics")
+        pxv = left[lon].to_numpy(dtype=np.float64)
+        pyv = left[lat].to_numpy(dtype=np.float64)
         mask = kpip.points_in_polygon_np(
-            left[lon].to_numpy(dtype=np.float64),
-            left[lat].to_numpy(dtype=np.float64), geom)
+            pxv, pyv, sr.from_struct(right["_pg"].iloc[0]))
+        for i in range(1, len(right)):  # multi-row zone: in ANY
+            mask |= kpip.points_in_polygon_np(
+                pxv, pyv, sr.from_struct(right["_pg"].iloc[i]))
         return left.loc[mask, out_cols]
 
     return (cand.groupBy(*gkeys)

@@ -245,12 +245,26 @@ def _assign(vectors: DataFrame, centroids: DataFrame, key: str,
 
 def ivf_fit(targets: DataFrame, k_clusters: int, iters: int = 2,
             target_key: str = "t_id", tvec: str = "tvec") -> DataFrame:
-    """Deterministic k-means: init from the first k target keys, then
-    `iters` Lloyd rounds. Returns (cid, cvec array<double>)."""
-    c = (targets.where(F.col(target_key) < k_clusters)
-         .select(F.col(target_key).cast("long").alias("cid"),
-                 F.expr(f"transform({tvec}, x -> CAST(x AS DOUBLE))")
-                 .alias("cvec")))
+    """Deterministic k-means: seed from the k SMALLEST target keys
+    (TakeOrderedAndProject — no full sort, works for offset / sparse /
+    filtered key spaces, unlike a ``key < k`` predicate which silently
+    under-seeds), then `iters` Lloyd rounds. Raises ValueError when
+    fewer than k seed vectors exist. Returns (cid, cvec array<double>);
+    cid = the seed row's key, so on dense 0-based keys the result is
+    identical to the old predicate seeding (oracle unchanged there).
+    """
+    seed = (targets
+            .select(F.col(target_key).cast("long").alias("cid"),
+                    F.expr(f"transform({tvec}, x -> CAST(x AS DOUBLE))")
+                    .alias("cvec"))
+            .orderBy("cid").limit(k_clusters))
+    rows = seed.collect()  # <= k_clusters tiny rows; also truncates the
+    # Lloyd plan chain at its root (c is referenced once per round)
+    if len(rows) < k_clusters:
+        raise ValueError(
+            f"ivf_fit: need >= {k_clusters} target vectors to seed "
+            f"centroids, got {len(rows)}")
+    c = targets.sparkSession.createDataFrame(rows, schema=seed.schema)
     for _ in range(iters):
         a = _assign(targets, c, target_key, tvec)
         pe = (a.join(targets.select(target_key, tvec), on=target_key)

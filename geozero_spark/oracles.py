@@ -223,10 +223,18 @@ ORACLES["bbox_select"] = _W + (
 
 # --- training-data pipeline ------------------------------------------------
 
+# mirrors dedup.exact_dedup(fast=False): GROUP BY the two-seed portable
+# text hash of the 40-char prefix, never the raw text (the scale-shape
+# fix — the payload must not be the shuffle key). The char-code array is
+# shared via a CTE column like the Spark side's materialized _cc.
+_dd_cc = th.char_codes("prefix", D)
 ORACLES["exact_dedup"] = (
+    "WITH h AS (SELECT doc_id, "
+    f"{th.fold_hash(_dd_cc, D, seed=th.SEED)} AS h1, "
+    f"{th.fold_hash(_dd_cc, D, seed=101)} AS h2 "
+    "FROM (SELECT doc_id, substr(text, 1, 40) AS prefix FROM documents)) "
     "SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
-    "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents "
-    "GROUP BY substr(text, 1, 40)")
+    "CAST(COUNT(*) AS BIGINT) AS n_dups FROM h GROUP BY h1, h2")
 
 
 def _sig_sql(text: str, num_perm: int) -> list[str]:
@@ -406,7 +414,7 @@ def _ann_ivf_ctes() -> str:
     parts = [
         f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, "
         f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec "
-        f"FROM embeddings WHERE vec_id < {Q.IVF_K})"]
+        f"FROM embeddings ORDER BY vec_id LIMIT {Q.IVF_K})"]
     for it in range(Q.IVF_ITERS):
         cos = _cos_vs_cvec("t", "c")
         parts.append(f"""

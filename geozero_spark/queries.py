@@ -464,7 +464,9 @@ def q_shp_decode(spark, sf_dir):
 
     P.register_views(spark, sf_dir)
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    d = f"/tmp/gz_shp_{tag}"
+    # cap is part of the fixture tag: a stale fixture written under a
+    # different cap must never alias this one (oracle has LIMIT cap)
+    d = f"/tmp/gz_shp_{tag}_cap{SHP_FIXTURE_CAP}"
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "points.shp")
     if not os.path.exists(path):

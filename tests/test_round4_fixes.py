@@ -1,0 +1,158 @@
+"""Round-4 fixes: hash-keyed exact dedup (the text column must never be
+the shuffle key), ngram bucket guard, robust IVF seeding, and multi-row
+zone handling in pip_join (both paths)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geozero_spark.operators import dedup
+from geozero_spark.operators import similarity as sim
+
+
+# --------------------------------------------------------------------------
+# exact_dedup
+# --------------------------------------------------------------------------
+
+_DOCS = [
+    (1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma"),
+    (5, "beta"), (6, "delta"), (7, "alpha"), (8, ""),
+    (9, ""), (10, "epsilon zeta"),
+]
+
+
+def _expected_dedup(rows):
+    by_text = {}
+    for k, t in rows:
+        by_text.setdefault(t, []).append(k)
+    return sorted((min(ks), len(ks)) for ks in by_text.values())
+
+
+def _got(df):
+    return sorted((r.keep_doc_id, r.n_dups) for r in df.collect())
+
+
+def test_exact_dedup_matches_text_grouping(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    exp = _expected_dedup(_DOCS)
+    assert _got(dedup.exact_dedup(df)) == exp
+    assert _got(dedup.exact_dedup(df, fast=True)) == exp
+    assert _got(dedup.exact_dedup(df, verify=True)) == exp
+    assert _got(dedup.exact_dedup(df, fast=True, verify=True)) == exp
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    """The exchange key must be the hash columns — the raw text payload
+    must not ride the shuffle (the 100 TB scale-shape fix)."""
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    out = dedup.exact_dedup(df, fast=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    part = [ln for ln in plan.splitlines()
+            if "hashpartitioning" in ln]
+    assert part, plan
+    for ln in part:
+        assert "_h1" in ln and "_h2" in ln, ln
+        assert "text" not in ln, ln
+
+
+# --------------------------------------------------------------------------
+# ngram bucket guard
+# --------------------------------------------------------------------------
+
+def test_ngram_degenerate_bucket_bounded(spark):
+    # 40 same-length docs (one glen bucket) + one true pair elsewhere:
+    # with max_bucket=10 the degenerate bucket contributes NO pairs but
+    # the operator still runs and finds pairs in kept buckets
+    big = [(i, "identical boilerplate rides every page of this site")
+           for i in range(40)]
+    good = [(100, "a quick brown fox jumps over the lazy dog"),
+            (101, "a quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(big + good, "doc_id long, text string")
+    got = dedup.ngram_jaccard_pairs(df, threshold=0.9, max_bucket=10)
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in got.collect()}
+    assert pairs == {(100, 101)}
+    # unguarded: the degenerate bucket's near-identical docs DO pair
+    ung = dedup.ngram_jaccard_pairs(df, threshold=0.9, max_bucket=None)
+    assert len(ung.collect()) > 1
+
+
+# --------------------------------------------------------------------------
+# IVF seeding
+# --------------------------------------------------------------------------
+
+def _emb(spark, ids, dim=4):
+    rows = [(i, [float((i * 7 + j * 3) % 11) + 0.5 for j in range(dim)])
+            for i in ids]
+    return spark.createDataFrame(rows, "t_id long, tvec array<float>")
+
+
+def test_ivf_fit_offset_keys(spark):
+    # keys 1000..1019: the old `key < k` predicate seeded ZERO centroids
+    t = _emb(spark, range(1000, 1020))
+    c = sim.ivf_fit(t, k_clusters=4, iters=1)
+    rows = c.collect()
+    assert len(rows) == 4
+    assert all(len(r.cvec) == 4 for r in rows)
+
+
+def test_ivf_fit_too_few_raises(spark):
+    t = _emb(spark, range(3))
+    with pytest.raises(ValueError, match="need >= 8"):
+        sim.ivf_fit(t, k_clusters=8)
+
+
+def test_ivf_topk_offset_keys_end_to_end(spark):
+    t = _emb(spark, range(500, 530))
+    q = _emb(spark, range(500, 506)).withColumnRenamed(
+        "t_id", "q_id").withColumnRenamed("tvec", "qvec")
+    out = sim.ivf_topk(q, t, k=3, k_clusters=4, probe=2, iters=1)
+    rows = out.collect()
+    assert rows
+    assert {r.q_id for r in rows} <= set(range(500, 506))
+    assert all(1 <= r.rank <= 3 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# pip_join multi-row zones
+# --------------------------------------------------------------------------
+
+def _dup_zone_fixture(spark):
+    from geozero_spark.kernel import structrepr as sr, wkt as kwkt
+
+    pa = sr.to_struct(kwkt.decode("POLYGON((0 0,4 0,4 4,0 4,0 0))"))
+    pb = sr.to_struct(kwkt.decode("POLYGON((10 10,14 10,14 14,10 14,"
+                                  "10 10))"))
+    polys = spark.createDataFrame(
+        [(7, pa), (7, pb), (8, pa)],
+        f"zone_id long, poly struct<{sr.GEOMETRY_DDL}>")
+    pts = spark.createDataFrame(
+        [("in_a", 1.0, 1.0), ("in_b", 11.0, 11.0),
+         ("out", 40.0, 40.0)],
+        "url string, lon double, lat double")
+    return pts, polys
+
+
+def test_pip_duplicate_poly_key_raises_by_default(spark):
+    pts, polys = _dup_zone_fixture(spark)
+    from geozero_spark.operators import pip_join as pj
+    with pytest.raises(ValueError, match="unique_polys=False"):
+        pj.pip_join(pts, polys, res=4).collect()
+    with pytest.raises(Exception, match="unique_polys=False"):
+        # shuffle path: the error surfaces from the cogrouped UDF
+        pj.pip_join(pts, polys, res=4,
+                    broadcast_polys=False).collect()
+
+
+def test_pip_multirow_zone_any_semantics(spark):
+    """unique_polys=False: containment in ANY of the zone's polygon
+    rows, exactly one output row per (point, zone)."""
+    pts, polys = _dup_zone_fixture(spark)
+    from geozero_spark.operators import pip_join as pj
+
+    exp = [("in_a", 7), ("in_a", 8), ("in_b", 7)]
+    for kw in (dict(), dict(broadcast_polys=False),
+               dict(broadcast_polys=False, salt=2),
+               dict(broadcast_polys=False, prefilter=True)):
+        got = sorted((r.url, r.zone_id) for r in
+                     pj.pip_join(pts, polys, res=4, unique_polys=False,
+                                 **kw).collect())
+        assert got == exp, kw
