@@ -1,13 +1,22 @@
 """Multimodal binary columns: decode / resize / frame-sample plumbing.
 
 The training-data mandate treats image/audio/video as opaque ``binary``
-columns with typed metadata extracted by Arrow-batched passes. The
-actual codecs (PIL/ffmpeg/...) are not in this container, so the decode
-step is STUBBED: ``media_meta`` parses the deterministic fake container
-from sources/pages.media_blob (header ``VID1;w=..;h=..;f=..;`` +
-payload) with exactly the plumbing a real decoder plugs into — one
-``mapInPandas`` over the binary column, whole-batch pandas string ops,
-no per-row Python — and computes the downstream math a pipeline needs:
+columns with typed metadata extracted by Arrow-batched passes.
+``media_meta`` types three container formats by magic bytes:
+
+- **PNG**: real header parse — signature + IHDR width/height (public
+  spec; the IHDR chunk is required first);
+- **JPEG**: real header parse — marker WALK to the first SOFn frame
+  header (ITU T.81), skipping APPn/DQT/... segments by their lengths;
+- the deterministic fake video container from sources/pages.media_blob
+  (``VID1;w=..;h=..;f=..;`` + payload).
+
+Full pixel decode (PIL/ffmpeg/...) is not in this container, so that
+step stays STUBBED behind HAVE_REAL_CODECS — but the header typing is
+real-bytes real, and the plumbing is exactly what a full decoder plugs
+into: one ``mapInPandas`` over the binary column, batch-vectorized
+dispatch, per-row work bounded by header size (never payload size).
+Downstream it computes the math a pipeline needs:
 
 - thumbnail resize: fit into ``thumb`` x ``thumb`` preserving aspect,
   integer floor division (``w * thumb // max(w, h)``, min 1);
@@ -53,6 +62,77 @@ def _parse_fake(blobs: pd.Series) -> pd.DataFrame:
     })
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOFn markers that carry frame dimensions (public JPEG spec, ITU T.81
+# table B.1) — everything C0..CF except DHT (C4), JPG (C8), DAC (CC)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _png_dims(b: bytes):
+    """(width, height) from the IHDR chunk, which the spec requires
+    first; None when malformed."""
+    if len(b) >= 24 and b[12:16] == b"IHDR":
+        return (int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"))
+    return None
+
+
+def _jpeg_dims(b: bytes):
+    """(width, height) from the first SOFn marker. A real marker WALK
+    (skip APPn/DQT/... by their segment lengths), not a fixed-offset
+    peek — bounded by the header, never touches entropy-coded data."""
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        m = b[i + 1]
+        if m in _JPEG_SOF:
+            if i + 9 <= n:
+                return (int.from_bytes(b[i + 7:i + 9], "big"),
+                        int.from_bytes(b[i + 5:i + 7], "big"))
+            return None
+        if m in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF seen
+            return None
+        if 0xD0 <= m <= 0xD7 or m in (0x01, 0xFF):  # standalone/fill
+            i += 2
+            continue
+        seg = int.from_bytes(b[i + 2:i + 4], "big")
+        if seg < 2:
+            return None
+        i += 2 + seg
+    return None
+
+
+def _parse_media(blobs: pd.Series) -> pd.DataFrame:
+    """Dispatch by magic bytes: real PNG / JPEG headers (public specs,
+    no codec required — stills, n_frames=1, payload_len=blob bytes)
+    or the fake video container. The fake path stays whole-batch
+    vectorized; the still paths cost O(header bytes) per row — the
+    per-row work is marker arithmetic only, independent of payload
+    size. Unknown magic / malformed / null -> NA row."""
+    filled = blobs.where(blobs.notna(), b"")
+    is_png = filled.str[:8] == _PNG_SIG
+    is_jpg = filled.str[:2] == b"\xff\xd8"
+    out = _parse_fake(blobs.where(~(is_png | is_jpg), b""))
+    for mask, parser, kind in ((is_png, _png_dims, "PNG"),
+                               (is_jpg, _jpeg_dims, "JPEG")):
+        if not mask.any():
+            continue
+        dims = [parser(bytes(b)) for b in filled[mask]]
+        idx = out.index[mask]
+        out.loc[idx, "kind"] = [kind if d else None for d in dims]
+        out.loc[idx, "width"] = [
+            float(d[0]) if d else None for d in dims]
+        out.loc[idx, "height"] = [
+            float(d[1]) if d else None for d in dims]
+        out.loc[idx, "n_frames"] = [1.0 if d else None for d in dims]
+        out.loc[idx, "payload_len"] = [
+            float(len(b)) if d else None
+            for b, d in zip(filled[mask], dims)]
+    return out
+
+
 def media_meta(df: DataFrame, media_col: str = "media",
                key: str = "doc_id", thumb: int = 64,
                max_frames: int = 3) -> DataFrame:
@@ -60,7 +140,7 @@ def media_meta(df: DataFrame, media_col: str = "media",
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = _parse_fake(pdf[media_col])
+            meta = _parse_media(pdf[media_col])
             # nullable Int64 end to end: a malformed or null blob
             # yields a row of NULL metadata, never a task failure
             w = meta["width"].astype("Int64")

@@ -527,22 +527,31 @@ GROUP BY e.q_id
 """
 
 _MW, _MH, _MF = P.MEDIA_W, P.MEDIA_H, P.MEDIA_F
+# mixed-format corpus (pages.media_blob_mixed, doc_id % 3 cycle):
+# PNG/JPEG stills are single-frame with payload_len = whole blob size
+# (fixed: header-only fixtures); dims come from the same planted
+# arithmetic for every format
+_MFE = f"(CASE WHEN doc_id % 3 = 0 THEN {_MF} ELSE 1 END)"
 ORACLES["media_meta"] = f"""
-SELECT doc_id, 'VID1' AS kind,
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 1 THEN 'PNG' WHEN 2 THEN 'JPEG'
+       ELSE 'VID1' END AS kind,
   CAST({_MW} AS INTEGER) AS width,
   CAST({_MH} AS INTEGER) AS height,
-  CAST({_MF} AS INTEGER) AS n_frames,
+  CAST({_MFE} AS INTEGER) AS n_frames,
   CAST(greatest(1, ({_MW} * 64) // greatest({_MW}, {_MH}))
        AS INTEGER) AS thumb_w,
   CAST(greatest(1, ({_MH} * 64) // greatest({_MW}, {_MH}))
        AS INTEGER) AS thumb_h,
-  CAST(least({_MF}, 3) AS INTEGER) AS n_sampled,
-  CAST(CASE least({_MF}, 3)
+  CAST(least({_MFE}, 3) AS INTEGER) AS n_sampled,
+  CAST(CASE least({_MFE}, 3)
        WHEN 1 THEN 0
-       WHEN 2 THEN {_MF} // 2
-       ELSE ({_MF} // 3) + ((2 * {_MF}) // 3) END AS BIGINT)
+       WHEN 2 THEN {_MFE} // 2
+       ELSE ({_MFE} // 3) + ((2 * {_MFE}) // 3) END AS BIGINT)
     AS sample_sum,
-  CAST({_MF} AS INTEGER) AS payload_len
+  CAST(CASE doc_id % 3 WHEN 1 THEN {P.PNG_BLOB_LEN}
+       WHEN 2 THEN {P.JPEG_BLOB_LEN}
+       ELSE {_MF} END AS INTEGER) AS payload_len
 FROM documents
 """
 
@@ -796,6 +805,15 @@ SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS recno,
 FROM (SELECT doc_id,
 """ + (f"{P.LON_C} AS xc, {P.LAT_C} AS yc FROM documents "
        f"ORDER BY doc_id LIMIT {Q.SHP_FIXTURE_CAP})")
+
+
+# fgb fixture = one Point per document with doc_id as a property
+# (queries.q_fgb_decode); the file's Hilbert feature order is absorbed
+# by the order-insensitive compare
+ORACLES["fgb_decode"] = (
+    f"SELECT doc_id, CAST({P.LON_C} AS BIGINT) AS x_c, "
+    f"CAST({P.LAT_C} AS BIGINT) AS y_c FROM documents "
+    f"ORDER BY doc_id LIMIT {Q.SHP_FIXTURE_CAP}")
 
 
 # event-time tumbling window: warc_ts = epoch + doc_id seconds; the

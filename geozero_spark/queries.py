@@ -486,6 +486,39 @@ def q_shp_decode(spark, sf_dir):
         cols.point_y(F.col("geom")).cast("long").alias("y_c"))
 
 
+def q_fgb_decode(spark, sf_dir):
+    """FlatGeobuf writer + reader through the Spark layer: synthetic
+    points -> JVM WKT parse -> geom struct -> write_fgb (ONE executor
+    task; Hilbert-sorted, packed-R-tree-indexed per the public spec) ->
+    read_fgb scan (kernel/fgb.py). The reference both reads and writes
+    .fgb (geozero-cli/src/main.rs:161-166 FgbWriter); doc_id rides as a
+    feature property so the file's Hilbert reorder is invisible to the
+    order-insensitive oracle."""
+    import hashlib
+    import os
+
+    from .sources import readers
+
+    P.register_views(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    d = f"/tmp/gz_fgb_{tag}_cap{SHP_FIXTURE_CAP}"
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "points.fgb")
+    if not os.path.exists(path):
+        src = spark.sql(
+            f"SELECT doc_id, {P.LOC_WKT} AS wkt FROM documents "
+            f"ORDER BY doc_id LIMIT {SHP_FIXTURE_CAP}")
+        src = src.select(
+            "doc_id",
+            cols.point_struct_from_wkt_jvm(F.col("wkt")).alias("geom"))
+        readers.write_fgb(src, path, name="points")
+    out = readers.read_fgb(spark, d)
+    return out.select(
+        F.col("props")["doc_id"].cast("long").alias("doc_id"),
+        cols.point_x(F.col("geom")).cast("long").alias("x_c"),
+        cols.point_y(F.col("geom")).cast("long").alias("y_c"))
+
+
 def q_gpx_decode(spark, sf_dir):
     """GPX reader through the Spark layer: per-page GPX documents
     (waypoint + track + route) -> member geometries in the reference's
@@ -681,14 +714,18 @@ def q_ann_ivf_recall(spark, sf_dir):
 
 
 def q_media_meta(spark, sf_dir):
-    """Multimodal binary column: decode-stub + resize/frame-sample
-    plan over an opaque media blob (operators/media.py docstring has
-    the real-codec slot); fully oracled because the fake container and
-    all derived math come from shared SQL arithmetic."""
+    """Multimodal binary column: typed header parse + resize/
+    frame-sample plan over a MIXED media corpus — real PNG (IHDR) and
+    JPEG (marker-walked SOF0) headers plus the fake video container,
+    cycling by doc_id % 3. Fully oracled: blob dimensions are planted
+    from the shared SQL arithmetic, so the oracle predicts the parsed
+    output without reconstructing any bytes (operators/media.py
+    docstring has the full-codec slot)."""
     from .operators import media
     P.register_views(spark, sf_dir, tables=("documents",))
-    df = spark.sql(f"SELECT doc_id, {P.media_blob(sg.SPARK)} AS media "
-                   f"FROM documents")
+    df = spark.sql(
+        f"SELECT doc_id, {P.media_blob_mixed(sg.SPARK)} AS media "
+        f"FROM documents")
     return media.media_meta(df)
 
 
@@ -799,6 +836,7 @@ QUERIES = {
     "tessellate": q_tessellate,
     "gpx_decode": q_gpx_decode,
     "shp_decode": q_shp_decode,
+    "fgb_decode": q_fgb_decode,
     "mvt_tiles": q_mvt_tiles,
     "mvt_feature_counts": q_mvt_feature_counts,
     "mvt_content": q_mvt_content,

@@ -167,6 +167,49 @@ def media_blob(d: str) -> str:
     return f"encode({_MEDIA_TXT})"
 
 
+# --- real-format still images (PNG IHDR / JPEG SOF0 headers) ---------------
+# REAL bytes per the public specs, dimensions planted from the shared
+# MEDIA_W/MEDIA_H arithmetic so the oracle predicts the parsed output
+# without reconstructing the blob. PNG: signature + IHDR (w,h u32be,
+# 8-bit RGB, zeroed CRC — header parsers don't checksum). JPEG: SOI +
+# a standard 16-byte JFIF APP0 (so the parser must WALK markers, not
+# peek a fixed offset) + SOF0 (h,w u16be, 3 components) + EOI.
+PNG_BLOB_LEN = 33   # 8 sig + 8 IHDR hdr + 13 data + 4 crc
+JPEG_BLOB_LEN = 41  # SOI + (2+16) APP0 + (2+17) SOF0 + EOI
+
+
+def _hex4(e: str, d: str) -> str:
+    fn = "hex" if d == sg.SPARK else "to_hex"
+    return f"lpad({fn}({e}), 4, '0')"
+
+
+def _hex8(e: str, d: str) -> str:
+    fn = "hex" if d == sg.SPARK else "to_hex"
+    return f"lpad({fn}({e}), 8, '0')"
+
+
+def _png_hex(d: str) -> str:
+    return ("('89504E470D0A1A0A' || '0000000D' || '49484452' || "
+            f"{_hex8(MEDIA_W, d)} || {_hex8(MEDIA_H, d)} || "
+            "'0802000000' || '00000000')")
+
+
+def _jpeg_hex(d: str) -> str:
+    return ("('FFD8' || 'FFE00010' || '4A46494600' || '0101' || '00' "
+            "|| '0001' || '0001' || '0000' || 'FFC00011' || '08' || "
+            f"{_hex4(MEDIA_H, d)} || {_hex4(MEDIA_W, d)} || "
+            "'03' || '012200' || '021101' || '031101' || 'FFD9')")
+
+
+def media_blob_mixed(d: str) -> str:
+    """Per-page media blob cycling fake video / PNG / JPEG by
+    doc_id % 3 — the multi-format corpus media_meta types."""
+    unhex = "unhex" if d == sg.SPARK else "from_hex"
+    return (f"(CASE doc_id % 3 WHEN 1 THEN {unhex}({_png_hex(d)}) "
+            f"WHEN 2 THEN {unhex}({_jpeg_hex(d)}) "
+            f"ELSE {media_blob(d)} END)")
+
+
 # --- XYZM coordinate lanes: per-doc 3-point LINESTRING ZM -------------------
 # Z/M values are small integers derived from doc_id so they format
 # identically across engines and their sums cast back to exact BIGINTs.

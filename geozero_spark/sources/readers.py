@@ -369,6 +369,55 @@ def read_fgb(spark: SparkSession, path: str,
         lambda buf: kfgb.iter_features(buf, bbox=bbox))
 
 
+def write_fgb(df: DataFrame, path: str, geom_col: str = "geom",
+              name: str | None = None, srid: int | None = None,
+              index_node_size: int = 16) -> None:
+    """Write a DataFrame with a geometry struct column as ONE
+    FlatGeobuf file (kernel/fgbwrite.py — the reference's FgbWriter
+    sink, geozero-cli/src/main.rs:161-166). Non-geometry columns become
+    feature properties; features are Hilbert-sorted and indexed (spec
+    layout) unless some row lacks an envelope.
+
+    A .fgb is a single sequential container (header + packed R-tree +
+    features), so like the shapefile writer it is produced by ONE
+    executor task via mapInPandas over a coalesced partition — the
+    rows never transit the driver; on a real cluster ``path`` must be
+    shared storage. Temp-write + rename, so a killed task never leaves
+    a half-written file. For partition-parallel output write a
+    DIRECTORY of .fgb files (one per partition) with this same kernel
+    — read_fgb scans directories."""
+    import os
+
+    prop_cols = [c for c in df.columns if c != geom_col]
+
+    def write_part(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        from geozero_spark.kernel import fgbwrite
+        from geozero_spark.kernel import structrepr as ksr
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        feats = []
+        for _, row in pdf.iterrows():
+            g = row[geom_col]
+            geom = None if g is None else ksr.from_struct(g)
+            props = {}
+            for c in prop_cols:
+                v = row[c]
+                if v is None or (isinstance(v, float) and v != v):
+                    continue
+                props[c] = v.item() if hasattr(v, "item") else v
+            feats.append((geom, props))
+        buf = fgbwrite.encode(feats, name=name, srid=srid,
+                              index_node_size=index_node_size)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, path)
+        yield pd.DataFrame({"n": [len(feats)]})
+
+    df.coalesce(1).mapInPandas(write_part, "n long").count()
+
+
 def read_gpkg(spark: SparkSession, path: str,
               table: str | None = None) -> DataFrame:
     """GeoPackage FEATURE scan without a database server (the

@@ -136,3 +136,157 @@ def test_zm_files_refused_loudly():
                 list(fgb.iter_features(buf))
         finally:
             fgb.read_info = orig
+
+
+# --------------------------------------------------------------------------
+# writer (kernel/fgbwrite.py) — pinned against the repo's own reader and
+# the reference's countries.fgb feature set
+# --------------------------------------------------------------------------
+
+from geozero_spark.kernel import fgbwrite, wkt as _kwkt  # noqa: E402
+
+
+@pytest.fixture
+def tmpdir_path(tmp_path):
+    return str(tmp_path)
+
+
+def test_write_roundtrip_countries():
+    """Re-encode the features decoded from the reference's fixture and
+    re-read with kernel/fgb.py: geometry + property parity, header
+    fields, and index search agreement on the geobench bbox
+    (geozero-bench/benches/geobench.rs:330-345)."""
+    buf = _buf()
+    feats = list(fgb.iter_features(buf))
+    out = fgbwrite.encode(feats, name="countries")
+    info = fgb.read_info(out)
+    assert info.name == "countries"
+    assert info.geometry_type == 6
+    assert info.features_count == 179
+    assert info.index_node_size == 16
+    assert info.srid == 4326
+    assert [c for c in info.columns] == [("id", 11), ("name", 11)]
+    assert info.envelope[:1] == [-180.0]
+
+    back = list(fgb.iter_features(out))
+    assert len(back) == 179
+    orig = {p["id"]: (_kwkt.encode(g), p) for g, p in feats}
+    new = {p["id"]: (_kwkt.encode(g), p) for g, p in back}
+    assert orig == new  # geometry (via WKT writer) + properties
+
+    hits = sorted(p["id"] for _, p in fgb.iter_features(out, bbox=BBOX))
+    assert hits == ["AUT", "CHE", "DEU", "DNK", "FRA", "RUS"]
+
+
+def test_written_index_equals_brute_force():
+    """R-tree search over a WRITTEN file == brute-force envelope scan
+    for several probe boxes (the invariant the reader's own index test
+    pins, now on writer output)."""
+    out = fgbwrite.encode(list(fgb.iter_features(_buf())))
+    all_feats = list(fgb.iter_features(out))
+
+    def envelope(g):
+        xs = [c[0] for poly in g.data for ring in poly for c in ring]
+        ys = [c[1] for poly in g.data for ring in poly for c in ring]
+        return min(xs), min(ys), max(xs), max(ys)
+
+    for bbox in (BBOX, (-180.0, -90.0, 180.0, 90.0),
+                 (0.0, 0.0, 1.0, 1.0), (170.0, 60.0, 180.0, 80.0),
+                 (500.0, 500.0, 501.0, 501.0)):
+        want = sorted(
+            p["id"] for g, p in all_feats
+            if not (envelope(g)[2] < bbox[0] or envelope(g)[3] < bbox[1]
+                    or envelope(g)[0] > bbox[2]
+                    or envelope(g)[1] > bbox[3]))
+        got = sorted(p["id"]
+                     for _, p in fgb.iter_features(out, bbox=bbox))
+        assert got == want, bbox
+
+
+def test_write_mixed_kinds_and_property_types():
+    from geozero_spark.kernel.model import Geom, POINT
+
+    g1 = _kwkt_decode("POINT(1 2)")
+    g2 = _kwkt_decode("LINESTRING(0 0,1 1,2 0)")
+    g3 = _kwkt_decode("POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,1 2,1 1))")
+    g4 = _kwkt_decode("MULTIPOINT(0 0,5 5)")
+    g5 = _kwkt_decode("MULTILINESTRING((0 0,1 1),(2 2,3 3))")
+    g6 = _kwkt_decode("MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((5 5,6 5,6 6,5 5)))")
+    g7 = _kwkt_decode(
+        "GEOMETRYCOLLECTION(POINT(9 9),LINESTRING(0 0,1 1))")
+    feats = [
+        (g1, {"n": 1, "s": "one", "f": 1.5, "b": True, "raw": b"\x01\x02"}),
+        (g2, {"n": 2, "s": "two", "f": -2.5, "b": False, "raw": b""}),
+        (g3, {"n": 3, "s": "three"}),
+        (g4, {"n": 4}), (g5, {"n": 5}), (g6, {"n": 6}), (g7, {"n": 7}),
+    ]
+    out = fgbwrite.encode(feats, srid=4326)
+    info = fgb.read_info(out)
+    assert info.geometry_type == 0  # mixed
+    back = {p["n"]: (g, p) for g, p in fgb.iter_features(out)}
+    assert len(back) == 7
+    for i, (g, p) in enumerate(feats, 0):
+        bg, bp = back[p["n"]]
+        assert _kwkt.encode(bg) == _kwkt.encode(g)
+        exp = {k: v for k, v in p.items()}
+        # empty binary is written (zero-length value), None never stored
+        assert bp == exp
+        assert bg.srid == 4326
+
+
+def test_write_null_geometry_falls_back_unindexed():
+    g = _kwkt_decode("POINT(3 4)")
+    out = fgbwrite.encode([(g, {"k": 1}), (None, {"k": 2})])
+    info = fgb.read_info(out)
+    assert info.index_node_size == 0  # no envelope for row 2
+    back = list(fgb.iter_features(out))
+    assert len(back) == 2
+    assert back[0][0] is not None and back[1][0] is None
+    # bbox query still works via the sequential-scan fallback
+    hits = [p for _, p in fgb.iter_features(out, bbox=(0, 0, 10, 10))]
+    assert [p["k"] for p in hits] == [1]
+
+
+def test_write_many_points_index_search():
+    """4096-feature written file (multi-level R-tree): search == brute
+    force on a grid of probe boxes."""
+    from geozero_spark.kernel.model import Geom, POINT
+
+    feats = [(Geom(POINT, (float(i % 64), float(i // 64))), {"i": i})
+             for i in range(4096)]
+    out = fgbwrite.encode(feats)
+    for bbox in ((0.0, 0.0, 3.0, 3.0), (10.5, 10.5, 12.25, 11.75),
+                 (63.0, 63.0, 64.0, 64.0), (-5.0, -5.0, -1.0, -1.0)):
+        want = sorted(i for i in range(4096)
+                      if bbox[0] <= i % 64 <= bbox[2]
+                      and bbox[1] <= i // 64 <= bbox[3])
+        got = sorted(p["i"] for _, p in fgb.iter_features(out, bbox=bbox))
+        assert got == want, bbox
+
+
+def _kwkt_decode(w):
+    return _kwkt_mod.decode(w)
+
+
+from geozero_spark.kernel import wkt as _kwkt_mod  # noqa: E402
+
+
+def test_spark_write_fgb_roundtrip(spark, tmpdir_path):
+    """Spark-level writer: struct rows -> one executor task -> .fgb ->
+    read_fgb scan returns the same features."""
+    import os as _os
+
+    from geozero_spark.kernel import structrepr as sr
+    from geozero_spark.sources import readers
+
+    geoms = [(i, sr.to_struct(_kwkt_decode(f"POINT({i} {i * 2})")))
+             for i in range(20)]
+    df = spark.createDataFrame(
+        geoms, f"fid long, geom struct<{sr.GEOMETRY_DDL}>")
+    path = _os.path.join(tmpdir_path, "pts.fgb")
+    readers.write_fgb(df, path, name="pts")
+    back = readers.read_fgb(spark, tmpdir_path).collect()
+    assert len(back) == 20
+    got = sorted((int(r.props["fid"]),
+                  r.geom.coords[0], r.geom.coords[1]) for r in back)
+    assert got == [(i, float(i), float(i * 2)) for i in range(20)]

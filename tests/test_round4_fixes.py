@@ -156,3 +156,93 @@ def test_pip_multirow_zone_any_semantics(spark):
                      pj.pip_join(pts, polys, res=4, unique_polys=False,
                                  **kw).collect())
         assert got == exp, kw
+
+
+# --------------------------------------------------------------------------
+# real-format media headers
+# --------------------------------------------------------------------------
+
+def _png(w, h):
+    import struct as st
+    return (b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR"
+            + st.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+            + b"\x00\x00\x00\x00")
+
+
+def _jpeg(w, h, extra_segments=True):
+    import struct as st
+    out = b"\xff\xd8"
+    if extra_segments:
+        out += b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        out += b"\xff\xdb" + st.pack(">H", 67) + bytes(65)  # DQT
+    out += (b"\xff\xc0" + st.pack(">H", 17) + b"\x08"
+            + st.pack(">HH", h, w) + b"\x03\x01\x22\x00\x02\x11\x01"
+            + b"\x03\x11\x01")
+    return out + b"\xff\xd9"
+
+
+def test_media_header_parsers_planted_dims():
+    from geozero_spark.operators.media import _jpeg_dims, _png_dims
+
+    assert _png_dims(_png(640, 480)) == (640, 480)
+    assert _png_dims(_png(1, 70000)) == (1, 70000)  # >u16 dims
+    assert _png_dims(_png(640, 480)[:20]) is None   # truncated
+    bad = bytearray(_png(9, 9))
+    bad[12:16] = b"XXXX"                            # IHDR not first
+    assert _png_dims(bytes(bad)) is None
+
+    assert _jpeg_dims(_jpeg(800, 600)) == (800, 600)
+    assert _jpeg_dims(_jpeg(31, 17, extra_segments=False)) == (31, 17)
+    assert _jpeg_dims(_jpeg(800, 600)[:8]) is None  # truncated pre-SOF
+    assert _jpeg_dims(b"\xff\xd8\xff\xd9") is None  # no SOF
+    # progressive (SOF2) also carries dims
+    prog = _jpeg(12, 34).replace(b"\xff\xc0", b"\xff\xc2")
+    assert _jpeg_dims(prog) == (12, 34)
+
+
+def test_media_meta_mixed_blobs(spark):
+    """media_meta over hand-built PNG/JPEG/fake blobs in one batch:
+    planted dims come back typed; garbage stays NULL."""
+    from geozero_spark.operators import media
+
+    rows = [
+        (1, bytearray(_png(320, 200))),
+        (2, bytearray(_jpeg(640, 360))),
+        (3, bytearray(b"VID1;w=100;h=50;f=4;pppp")),
+        (4, bytearray(b"\x00garbage")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: r for r in media.media_meta(df).collect()}
+    assert (got[1].kind, got[1].width, got[1].height,
+            got[1].n_frames) == ("PNG", 320, 200, 1)
+    assert got[1].payload_len == len(_png(320, 200))
+    assert (got[2].kind, got[2].width, got[2].height,
+            got[2].n_frames) == ("JPEG", 640, 360, 1)
+    assert (got[3].kind, got[3].width, got[3].height, got[3].n_frames,
+            got[3].payload_len) == ("VID1", 100, 50, 4, 4)
+    # thumbnail math applies to stills: 320x200 -> 64x40
+    assert (got[1].thumb_w, got[1].thumb_h) == (64, 40)
+    assert got[4].kind is None and got[4].width is None
+    assert got[5].kind is None
+
+
+def test_media_blob_synthesis_cross_engine(spark, duck):
+    """pages.media_blob_mixed is dual-dialect SQL: Spark and DuckDB
+    must synthesize byte-identical blobs for the same doc_ids."""
+    from geozero_spark.functions import sqlgen as sg
+    from geozero_spark.sources import pages as P
+
+    s = spark.sql(
+        f"SELECT doc_id, {P.media_blob_mixed(sg.SPARK)} AS b "
+        f"FROM range(12) t(doc_id) ORDER BY doc_id"
+    ).collect()
+    d = duck.sql(
+        f"SELECT doc_id, {P.media_blob_mixed('duckdb')} AS b "
+        f"FROM range(12) t(doc_id) ORDER BY doc_id").fetchall()
+    for (sid, sb), (did, db) in zip(s, d):
+        assert sid == did
+        assert bytes(sb) == bytes(db), sid
+    # and the planted lengths hold
+    assert len(bytes(s[1][1])) == P.PNG_BLOB_LEN
+    assert len(bytes(s[2][1])) == P.JPEG_BLOB_LEN
