@@ -212,3 +212,78 @@ def test_columnar_framing_dedups_duplicate_keys(monkeypatch):
     monkeypatch.setattr(mvt_fast, "_VECTOR_MIN", 10 ** 9)
     r_py = mvt_fast.encode_tile_fast("layer", EXTENT, items, *BOUNDS)
     assert r_vec == r_py
+
+
+def _cols_from_items(items):
+    """Flatten [(key, rec_or_None)] into encode_tile_cols' parallel
+    column lists (what tiling's flat-column shuffle delivers)."""
+    keys = [k for k, _ in items]
+    cols = {f: [] for f in ("kind", "has_z", "has_m", "coords",
+                            "offs1", "offs2", "wkb")}
+    for _, rec in items:
+        for f in cols:
+            cols[f].append(None if rec is None else rec.get(f))
+    return keys, cols
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_cols_branch_bytes_identical(monkeypatch, force_python):
+    """encode_tile_cols is the THIRD parity-pinned branch: same
+    (bytes, n, skipped) as encode_tile_fast on the same features —
+    including None rows, duplicate keys, multi-ring/multi-part
+    fallback features and skip-inducing degenerates — both above and
+    below the columnar threshold."""
+    rng = np.random.default_rng(23)
+    items = []
+    for i in range(120):
+        x = float(rng.uniform(-9, 9))
+        y = float(rng.uniform(-4, 4))
+        mod = i % 7
+        key = "dup" if i % 5 == 0 else str(i)
+        if mod == 0:
+            items.append((key, None))
+        elif mod == 1:
+            items.append((key, sr.to_struct(wkt.decode(
+                f"MULTILINESTRING(({x:.3f} {y:.3f},0 0),"
+                f"(1 1,2 2,3 1))"))))          # multi-part python slot
+        elif mod == 2:
+            w = (f"POLYGON(({x:.5f} {y:.5f},{x + 1e-05:.5f} {y:.5f},"
+                 f"{x:.5f} {y + 1e-05:.5f},{x:.5f} {y:.5f}))")
+            items.append((key, sr.to_struct(wkt.decode(w))))  # skip
+        elif mod == 3:
+            items.append((key, sr.to_struct(wkt.decode(
+                f"POLYGON(({x:.3f} {y:.3f},{x + 0.8:.3f} {y:.3f},"
+                f"{x + 0.8:.3f} {y + 0.6:.3f},{x:.3f} {y + 0.6:.3f},"
+                f"{x:.3f} {y:.3f}),({x + 0.2:.3f} {y + 0.2:.3f},"
+                f"{x + 0.4:.3f} {y + 0.2:.3f},{x + 0.2:.3f} "
+                f"{y + 0.4:.3f},{x + 0.2:.3f} {y + 0.2:.3f}))"))))
+        else:
+            items.append((key, sr.to_struct(wkt.decode(
+                f"POINT({x:.4f} {y:.4f})"))))
+    if force_python:
+        monkeypatch.setattr(mvt_fast, "_VECTOR_MIN", 10 ** 9)
+    for n_take in (3, len(items)):  # below/above _VECTOR_MIN
+        sub = items[:n_take]
+        r_fast = mvt_fast.encode_tile_fast(
+            "layer", EXTENT, sub, *BOUNDS)
+        keys, c = _cols_from_items(sub)
+        r_cols = mvt_fast.encode_tile_cols(
+            "layer", EXTENT, keys, c["kind"], c["has_z"], c["has_m"],
+            c["coords"], c["offs1"], c["offs2"], c["wkb"], *BOUNDS)
+        assert r_cols == r_fast
+        assert r_fast is not None and r_fast[2] > 0
+
+
+def test_cols_branch_fallback_agreement():
+    """An ineligible feature (raw-WKB exotic) makes BOTH branches
+    return None (whole-tile kernel fallback)."""
+    good = sr.to_struct(wkt.decode("POINT(1 1)"))
+    exotic = dict(good)
+    exotic["wkb"] = b"\x01\x08\x00\x00\x00"  # circularstring marker
+    items = [("a", good), ("b", exotic)]
+    assert mvt_fast.encode_tile_fast("layer", EXTENT, items,
+                                     *BOUNDS) is None
+    keys, c = _cols_from_items(items)
+    assert mvt_fast.encode_tile_cols(
+        "layer", EXTENT, keys, c["kind"], c["has_z"], c["has_m"],
+        c["coords"], c["offs1"], c["offs2"], c["wkb"], *BOUNDS) is None
