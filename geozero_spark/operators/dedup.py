@@ -157,23 +157,35 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 48,
             fast: bool = False, out: str = "simhash") -> DataFrame:
     """SimHash over word tokens: per-bit weighted majority of token
     hashes, folded into a ``bits``-wide int64 (bit b set iff the count
-    of tokens with bit b set is >= half). Pure JVM expressions."""
+    of tokens with bit b set is >= half). Pure JVM expressions.
+
+    Shape matters enormously here: higher-order functions evaluate
+    outside codegen, so every extra COLUMN REFERENCE re-inlines (and
+    re-computes) its whole upstream tree. The original form — one
+    aggregate over the token hashes PER BIT — re-ran tokenize+hash
+    ``bits`` times per row (measured ~20 ms·core/doc at 48 bits; the
+    suite's scaling stage surfaced it). This form folds the hashes
+    ONCE with an array<long> bit-count accumulator and references each
+    helper column exactly once downstream — same integer math, same
+    results (the DuckDB oracle is unchanged), ~50x faster."""
     toks = th.tokens(text_col, _D)
     if fast:
-        hashes = f"transform({toks}, x -> abs(xxhash64(x)) % {th.P})"
+        hashes = f"transform(_sh_toks, x -> abs(xxhash64(x)) % {th.P})"
     else:
-        hashes = th.hash_array(toks, _D)
-    # ones[b] = number of token hashes with bit b set
-    ones = (f"transform(sequence(0, {bits - 1}), b -> "
-            f"aggregate(_h, 0L, (acc, h) -> acc + "
-            f"(shiftright(h, b) & 1)))")
-    sim = (f"aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> "
-           f"acc + IF(element_at(_ones, b + 1) * 2 >= size(_h), "
-           f"shiftleft(1L, b), 0L))")
-    return (df.withColumn("_h", F.expr(hashes))
-            .withColumn("_ones", F.expr(ones))
+        hashes = th.hash_array("_sh_toks", _D)
+    # ones[b] = count of token hashes with bit b set — ONE pass
+    ones = (f"aggregate(_sh_h, array_repeat(0L, {bits}), (acc, h) -> "
+            f"zip_with(acc, sequence(0, {bits - 1}), "
+            f"(a, b) -> a + (shiftright(h, b) & 1)))")
+    sim = (f"aggregate(zip_with(_sh_ones, sequence(0, {bits - 1}), "
+           f"(c, b) -> IF(c * 2 >= _sh_n, shiftleft(1L, b), 0L)), "
+           f"0L, (acc, v) -> acc + v)")
+    return (df.withColumn("_sh_toks", F.expr(toks))
+            .withColumn("_sh_n", F.expr("size(_sh_toks)"))
+            .withColumn("_sh_h", F.expr(hashes))
+            .withColumn("_sh_ones", F.expr(ones))
             .withColumn(out, F.expr(sim))
-            .drop("_h", "_ones"))
+            .drop("_sh_toks", "_sh_n", "_sh_h", "_sh_ones"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id",

@@ -84,6 +84,29 @@ def explode_bbox_cover(df: DataFrame, res: int, bbox_col: str = "bbox",
 
 _BROADCAST_POLY_LIMIT = 100_000
 
+# prefilter=None (auto) flips the points-side cover-cell semi-join on
+# when the estimated points bytes reaching the big exchange exceed
+# this. The prefilter's cost is ~fixed (one cover-distinct + broadcast
+# job, ~1s); its saving scales with points bytes x uncovered-grid
+# fraction — measured crossover on this box is ~100-200 MB of points
+# exchange (PLANS.md §5 round-4 table), threshold set at the low end
+# because overshooting wastes ~1s once while undershooting wastes
+# O(points) forever at 10^12 rows.
+_PREFILTER_AUTO_BYTES = 128 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for a DataFrame's optimized
+    plan (file-stats based for scans, propagated through projections).
+    Unknown/unreliable estimates come back as the huge default —
+    callers treating 'huge' as 'large input' fail safe for a
+    fixed-cost-vs-linear-saving decision."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    except Exception:
+        return 1 << 62
+
 # prepared polygon-side state, keyed by the polys DataFrame OBJECT
 # (weakly): the collected rows, decoded poly map (already broadcast)
 # and the kernel cell cover. A dimension table joined repeatedly (the
@@ -165,7 +188,7 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
              lon: str = "lon", lat: str = "lat",
              poly_geom: str = "poly", poly_key: str = "zone_id",
              broadcast_polys: bool = True, salt: int = 0,
-             prefilter: bool = False,
+             prefilter: bool | None = None,
              unique_polys: bool = True) -> DataFrame:
     """Exact point-in-polygon join.
 
@@ -184,15 +207,15 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
     ``prefilter`` (shuffle path only): semi-join the points against
     the DISTINCT cover cells — bounded by the 4^res grid, so always
     broadcastable at sane res — BEFORE the big exchange, so points
-    outside every polygon's bbox never shuffle. Turn this on when the
-    points side dwarfs the cover-cell count (the 10^12-row regime) and
-    the polygons cover a fraction of the grid: the prune factor is
-    that fraction. It costs one extra pass over the polygon side plus
-    a small distinct+broadcast job (~1s fixed), which is why it is OFF
-    by default — at bench scale (200k points) the exchange it saves is
-    cheaper than the job that saves it. Measured sf0.1: prefilter on =
-    3.2s vs off = 2.1s; the crossover is where points-exchange bytes
-    exceed a few hundred MB per executor.
+    outside every polygon's bbox never shuffle. The prune factor is
+    the fraction of the grid the polygons do NOT cover; the cost is
+    one extra pass over the polygon side plus a small
+    distinct+broadcast job (~1s fixed). Default ``None`` = AUTO: on
+    when Catalyst's size estimate for the points side reaches
+    ``_PREFILTER_AUTO_BYTES`` (measured crossover, PLANS.md §5 round-4
+    table) — small bench inputs keep the cheap plain exchange, the
+    10^12-row regime gets the prune without a caller decision. Pass
+    True/False to pin it.
     """
     pts = with_cell(points, lon, lat, res)
     if salt > 0:
@@ -272,6 +295,8 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 6,
         # yield ONE candidate row per (point, zone) — distinct on the
         # small (dimension) side before the big exchange
         cover = cover.distinct()
+    if prefilter is None:
+        prefilter = _plan_size_bytes(pts) >= _PREFILTER_AUTO_BYTES
     if prefilter:
         pts = pts.join(F.broadcast(cover.select("cell").distinct()),
                        on="cell", how="leftsemi")
