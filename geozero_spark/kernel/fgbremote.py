@@ -1,0 +1,220 @@
+"""Range-read FlatGeobuf access — the HTTP streaming pattern.
+
+The reference exposes HttpFgbReader (geozero-cli/src/main.rs:70-84):
+open a remote .fgb over HTTP, fetch the header and packed R-tree with
+range requests, then fetch only the feature byte ranges a bbox query
+hits. This module re-expresses that over an abstract
+``read(offset, size) -> bytes`` callable so the same code serves
+http(s) (urllib Range requests), local files, and anything
+pyarrow.fs-like — and adds the piece a DISTRIBUTED engine needs that a
+streaming client does not: computing N split boundaries from O(N)
+R-tree leaf reads so executors can scan disjoint byte ranges of one
+giant remote file in parallel (the .shx-indexed shapefile split scan's
+dual, sources/readers.read_shp_indexed).
+
+Scale shape: the driver touches only the header plus ~N leaf nodes
+(40 bytes each) — never the features, never the whole index; each
+executor range-reads its own feature span in bounded chunks. A bbox
+query walks the R-tree with one range request per visited node run
+(node_size * 40 bytes), then fetches only hit features.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .fgb import (FgbError, FgbInfo, _rtree_level_sizes, decode_feature,
+                  read_info)
+
+_CHUNK = 1 << 20  # sequential-scan fetch granularity
+
+
+# --------------------------------------------------------------------------
+# range sources
+# --------------------------------------------------------------------------
+
+def file_range_source(path: str):
+    """read(offset, size) over a local file — the test/dev source."""
+    def read(offset: int, size: int) -> bytes:
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(size)
+    return read
+
+
+def http_range_source(url: str, timeout: float = 30.0):
+    """read(offset, size) via HTTP Range requests (RFC 7233). One
+    request per call; callers batch (node runs, feature chunks) so the
+    request count stays O(visited nodes + hits), not O(bytes)."""
+    from urllib.request import Request, urlopen
+
+    def read(offset: int, size: int) -> bytes:
+        req = Request(url, headers={
+            "Range": f"bytes={offset}-{offset + size - 1}"})
+        with urlopen(req, timeout=timeout) as resp:
+            if resp.status not in (200, 206):
+                raise FgbError(f"range request failed: {resp.status}")
+            data = resp.read()
+        # a 200 (server ignored Range) returns the whole file: slice
+        if resp.status == 200:
+            data = data[offset:offset + size]
+        return data
+    return read
+
+
+# --------------------------------------------------------------------------
+# header / index over ranges
+# --------------------------------------------------------------------------
+
+def read_info_ranged(read) -> FgbInfo:
+    head = read(0, 12)
+    if len(head) < 12:
+        raise FgbError("not a FlatGeobuf file (too short)")
+    hlen = struct.unpack_from("<I", head, 8)[0]
+    if hlen > (1 << 26):
+        raise FgbError(f"implausible header length {hlen}")
+    return read_info(head + read(12, hlen))
+
+
+def search_index_ranged(read, info: FgbInfo, minx: float, miny: float,
+                        maxx: float, maxy: float) -> list[int]:
+    """fgb.search_index with one range request per visited node run.
+    Returns sorted feature byte offsets relative to info.feature_pos."""
+    if info.index_node_size <= 0 or info.features_count == 0:
+        raise FgbError("file has no spatial index")
+    node_size = info.index_node_size
+    sizes = _rtree_level_sizes(info.features_count, node_size)
+    num_nodes = sum(sizes)
+    bounds, acc = [], num_nodes
+    for s in sizes:
+        bounds.append((acc - s, acc))
+        acc -= s
+    bounds.reverse()
+    leaf_start = num_nodes - info.features_count
+
+    results = []
+    queue = [(0, 0)]
+    while queue:
+        node_index, level = queue.pop()
+        end = min(node_index + node_size, bounds[level][1])
+        blob = read(info.index_pos + node_index * 40,
+                    (end - node_index) * 40)
+        for i in range(end - node_index):
+            nminx, nminy, nmaxx, nmaxy = struct.unpack_from(
+                "<4d", blob, i * 40)
+            if nmaxx < minx or nmaxy < miny or nminx > maxx \
+                    or nminy > maxy:
+                continue
+            child = struct.unpack_from("<Q", blob, i * 40 + 32)[0]
+            if node_index + i >= leaf_start:
+                results.append(child)
+            else:
+                queue.append((child, level + 1))
+    results.sort()
+    return results
+
+
+def leaf_feature_offset(read, info: FgbInfo, item: int) -> int:
+    """Feature byte offset (relative to feature_pos) of the item-th
+    feature in file order — ONE 40-byte leaf-node read."""
+    if not 0 <= item < info.features_count:
+        raise FgbError(f"feature index {item} out of range")
+    node_size = info.index_node_size
+    if node_size <= 0:
+        raise FgbError("file has no spatial index")
+    num_nodes = sum(_rtree_level_sizes(info.features_count, node_size))
+    leaf_start = num_nodes - info.features_count
+    blob = read(info.index_pos + (leaf_start + item) * 40 + 32, 8)
+    return struct.unpack_from("<Q", blob, 0)[0]
+
+
+def split_offsets(read, info: FgbInfo, n_splits: int) -> list[int]:
+    """n_splits+1 ascending ABSOLUTE byte boundaries partitioning the
+    feature section into contiguous spans of ~equal feature counts —
+    O(n_splits) leaf reads, independent of file or index size. Spans
+    are [b[i], b[i+1]); the last boundary is None (read to EOF)."""
+    n = info.features_count
+    n_splits = max(1, min(n_splits, n))
+    outs = []
+    for k in range(n_splits):
+        item = (k * n) // n_splits
+        outs.append(info.feature_pos
+                    + leaf_feature_offset(read, info, item))
+    return outs + [None]
+
+
+# --------------------------------------------------------------------------
+# feature iteration over ranges
+# --------------------------------------------------------------------------
+
+def fetch_feature(read, info: FgbInfo, rel_offset: int):
+    """Decode one feature at a relative offset: fetch its u32 length,
+    then exactly the record bytes."""
+    pos = info.feature_pos + rel_offset
+    flen = struct.unpack_from("<I", read(pos, 4), 0)[0]
+    body = read(pos, 4 + flen)
+    _, geom, props = decode_feature(body, 0, info)
+    return geom, props
+
+
+def iter_span(read, info: FgbInfo, start: int, end, max_features=None):
+    """Yield features whose records START in [start, end) (absolute
+    byte offsets; end=None -> EOF), fetching ``_CHUNK``-sized ranges
+    and carrying partial records across chunk boundaries."""
+    pos = start
+    buf = b""
+    buf_base = start
+    n = 0
+    while end is None or pos < end:
+        have = buf_base + len(buf) - pos
+        if have < 4:
+            more = read(buf_base + len(buf), _CHUNK)
+            if not more:
+                break
+            buf = buf[pos - buf_base:] + more
+            buf_base = pos
+            if len(buf) < 4:
+                break
+        off = pos - buf_base
+        flen = struct.unpack_from("<I", buf, off)[0]
+        while buf_base + len(buf) - pos < 4 + flen:
+            more = read(buf_base + len(buf), max(_CHUNK, flen))
+            if not more:
+                raise FgbError("truncated feature body")
+            buf += more
+        _, geom, props = decode_feature(buf, pos - buf_base, info)
+        yield geom, props
+        pos += 4 + flen
+        n += 1
+        if max_features is not None and n >= max_features:
+            break
+        if pos - buf_base > 4 * _CHUNK:  # drop consumed prefix
+            buf = buf[pos - buf_base:]
+            buf_base = pos
+
+
+def iter_features_ranged(read, bbox: tuple | None = None,
+                         info: FgbInfo | None = None):
+    """Remote analogue of fgb.iter_features: bbox -> R-tree walk +
+    per-hit fetches; full scan -> chunked sequential read."""
+    if info is None:
+        info = read_info_ranged(read)
+    if info.has_z or info.has_m:
+        raise FgbError("FlatGeobuf Z/M dimensions not supported")
+    if bbox is not None:
+        if info.index_node_size <= 0 or info.features_count == 0:
+            from . import bounds as _bounds
+            minx, miny, maxx, maxy = bbox
+            for geom, props in iter_features_ranged(read, info=info):
+                if geom is None:
+                    continue
+                bb = _bounds.bounds(geom)
+                if bb and bb[0] <= maxx and bb[2] >= minx \
+                        and bb[1] <= maxy and bb[3] >= miny:
+                    yield geom, props
+            return
+        for rel in search_index_ranged(read, info, *bbox):
+            yield fetch_feature(read, info, rel)
+        return
+    yield from iter_span(read, info, info.feature_pos, None,
+                         max_features=info.features_count or None)

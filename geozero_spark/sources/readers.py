@@ -369,6 +369,96 @@ def read_fgb(spark: SparkSession, path: str,
         lambda buf: kfgb.iter_features(buf, bbox=bbox))
 
 
+def read_fgb_ranged(spark: SparkSession, url: str,
+                    bbox: tuple | None = None,
+                    n_splits: int = 8) -> DataFrame:
+    """Distributed RANGE-READ scan of one (possibly remote) FlatGeobuf
+    file — the reference's HttpFgbReader streaming pattern
+    (geozero-cli/src/main.rs:70-84) made cluster-parallel.
+
+    The driver fetches only the header plus O(n_splits) R-tree leaf
+    nodes (for a bbox: plus the index walk, one range request per
+    visited node run); executors then fetch DISJOINT byte ranges —
+    contiguous feature spans for a full scan, contiguous hit runs for
+    a bbox — so one giant remote file scans in parallel without any
+    task reading it whole (the .fgb dual of read_shp_indexed's
+    .shx-based split scan). ``url``: http(s):// or a local path.
+    Unindexed files degrade to a single sequential task. Output schema
+    matches read_fgb: (split_id, feature_idx, geom, props)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..kernel import fgb as kfgb
+    from ..kernel import fgbremote as kr
+    from ..kernel import wkb as kwkb
+
+    remote = url.startswith("http://") or url.startswith("https://")
+    read = (kr.http_range_source(url) if remote
+            else kr.file_range_source(url))
+    info = kr.read_info_ranged(read)
+    if info.has_z or info.has_m:
+        raise kfgb.FgbError("FlatGeobuf Z/M dimensions not supported")
+    indexed = info.index_node_size > 0 and info.features_count > 0
+    if bbox is not None and indexed:
+        hits = kr.search_index_ranged(read, info, *bbox)
+        k = max(1, -(-len(hits) // n_splits))
+        tasks = [(i, json.dumps(hits[i * k:(i + 1) * k]))
+                 for i in range(max(1, -(-len(hits) // k)))]
+        mode = "hits"
+    else:
+        # bbox without an index: executor-side envelope filter below
+        bounds_ = (kr.split_offsets(read, info, n_splits) if indexed
+                   else [info.feature_pos, None])
+        tasks = [(i, json.dumps([bounds_[i], bounds_[i + 1]]))
+                 for i in range(len(bounds_) - 1)]
+        mode = "spans"
+
+    @pandas_udf(ArrayType(StringType()))
+    def fetch(payload: pd.Series) -> pd.Series:
+        from ..kernel import bounds as kbounds
+        src = (kr.http_range_source(url) if remote
+               else kr.file_range_source(url))
+        out = []
+        for p in payload:
+            spec = json.loads(p)
+            if mode == "hits":
+                it = (kr.fetch_feature(src, info, rel) for rel in spec)
+            else:
+                it = kr.iter_span(src, info, spec[0], spec[1])
+            rows = []
+            for geom, props in it:
+                if mode == "spans" and bbox is not None:
+                    if geom is None:
+                        continue
+                    bb = kbounds.bounds(geom)
+                    if bb is None or bb[0] > bbox[2] or bb[2] < bbox[0] \
+                            or bb[1] > bbox[3] or bb[3] < bbox[1]:
+                        continue
+                blob = (None if geom is None else
+                        kwkb.encode(geom, dialect=kwkb.DIALECT_EWKB))
+                rows.append(json.dumps({
+                    "wkb": None if blob is None else blob.hex(),
+                    "props": {k2: None if v is None else str(v)
+                              for k2, v in props.items()}}))
+            out.append(rows)
+        return pd.Series(out, dtype=object)
+
+    dec = udfs.st_geomfromwkb(dialect="ewkb")
+    tdf = spark.createDataFrame(tasks, "split_id int, payload string") \
+        .repartition(len(tasks), "split_id")
+    raw = tdf.select("split_id", fetch(F.col("payload")).alias("_recs"))
+    return (raw.select(
+        "split_id",
+        F.posexplode_outer("_recs").alias("feature_idx", "_j"))
+        .withColumn("_r", F.from_json(
+            "_j", "wkb string, props map<string,string>"))
+        .withColumn("geom", F.when(
+            F.col("_r.wkb").isNotNull(),
+            dec(F.unhex(F.col("_r.wkb")))))
+        .withColumn("props", F.col("_r.props"))
+        .drop("_j", "_r"))
+
+
 def write_fgb(df: DataFrame, path: str, geom_col: str = "geom",
               name: str | None = None, srid: int | None = None,
               index_node_size: int = 16) -> None:
