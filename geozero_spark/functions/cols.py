@@ -140,6 +140,29 @@ def bbox_intersects(geom: Column, xmin: float, ymin: float, xmax: float,
            (bbox_ymax(geom) >= F.lit(ymin))
 
 
+def point_struct_from_xy(x: Column, y: Column) -> Column:
+    """Geometry struct for a 2D point from already-parsed numeric
+    columns (NULL when either is NULL) — same struct, bit-identical
+    doubles, as point_struct_from_wkt_jvm on the equivalent text."""
+    xd = x.cast("double")
+    yd = y.cast("double")
+    st = F.struct(
+        F.lit(1).cast("tinyint").alias("kind"),
+        F.lit(None).cast("int").alias("srid"),
+        F.lit(False).alias("has_z"),
+        F.lit(False).alias("has_m"),
+        F.array(xd, yd, xd, yd).alias("bbox"),
+        F.array(xd, yd).alias("coords"),
+        F.lit(None).cast("array<int>").alias("offs1"),
+        F.lit(None).cast("array<int>").alias("offs2"),
+        F.lit(None).cast("binary").alias("wkb"),
+        F.lit(None).cast("array<double>").alias("tvals"),
+        F.lit(None).cast("array<bigint>").alias("tmvals"),
+    )
+    return F.when(x.isNotNull() & y.isNotNull(), st) \
+        .otherwise(F.lit(None))
+
+
 def point_struct_from_wkt_jvm(wkt: Column) -> Column:
     """Pure-JVM parse of simple 2D ``POINT(x y)`` WKT into the geometry
     struct — NULL when the text does not match (callers can coalesce

