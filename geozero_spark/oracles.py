@@ -236,6 +236,14 @@ ORACLES["exact_dedup"] = (
     "SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
     "CAST(COUNT(*) AS BIGINT) AS n_dups FROM h GROUP BY h1, h2")
 
+# the verified path's oracle is GROUND TRUTH (exact text grouping):
+# together with exact_dedup's hash-grouped oracle the pair pins both
+# sides of the hash-then-verify design
+ORACLES["exact_dedup_verified"] = (
+    "SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents "
+    "GROUP BY substr(text, 1, 40)")
+
 
 def _sig_sql(text: str, num_perm: int) -> list[str]:
     toks = th.tokens(text, D)

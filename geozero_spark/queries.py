@@ -613,6 +613,19 @@ def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(d, text_col="prefix", key="doc_id")
 
 
+def q_exact_dedup_verified(spark, sf_dir):
+    """verify=True two-pass exact dedup: hash buckets first (payload
+    off the exchange), then only multi-member buckets re-grouped by
+    full text. Its oracle is the EXACT text grouping — so the pair
+    (exact_dedup, exact_dedup_verified) pins both that the hash
+    grouping matches the hash oracle and that the verified path
+    matches ground truth."""
+    d = _documents(spark, sf_dir).withColumn(
+        "prefix", F.expr("substring(text, 1, 40)"))
+    return dedup.exact_dedup(d, text_col="prefix", key="doc_id",
+                             verify=True)
+
+
 def q_minhash_sigs(spark, sf_dir):
     d = _documents(spark, sf_dir)
     s = dedup.minhash_signatures(d.select("doc_id", "text"),
@@ -861,6 +874,7 @@ QUERIES = {
     "bounds_agg": q_bounds_agg,
     "bbox_select": q_bbox_select,
     "exact_dedup": q_exact_dedup,
+    "exact_dedup_verified": q_exact_dedup_verified,
     "minhash_sigs": q_minhash_sigs,
     "minhash_pairs": q_minhash_pairs,
     "near_dup": q_near_dup,
