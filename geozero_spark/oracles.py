@@ -823,6 +823,9 @@ ORACLES["fgb_decode"] = (
     f"CAST({P.LAT_C} AS BIGINT) AS y_c FROM documents "
     f"ORDER BY doc_id LIMIT {Q.SHP_FIXTURE_CAP}")
 
+# the range-read scan decodes the SAME fixture split into byte ranges
+ORACLES["fgb_ranged_decode"] = ORACLES["fgb_decode"]
+
 
 # event-time tumbling window: warc_ts = epoch + doc_id seconds; the
 # 1-hour window start is integer floor division (all values positive)

@@ -537,6 +537,28 @@ def q_fgb_decode(spark, sf_dir):
         cols.point_y(F.col("geom")).cast("long").alias("y_c"))
 
 
+def q_fgb_ranged_decode(spark, sf_dir):
+    """Range-read FlatGeobuf scan (kernel/fgbremote.py — the
+    reference's HttpFgbReader pattern, cluster-parallel): the SAME
+    writer-materialized fixture as q_fgb_decode, scanned via
+    read_fgb_ranged in 4 executor byte-range splits instead of a
+    whole-file read. Shares fgb_decode's oracle semantics."""
+    import hashlib
+    import os
+
+    from .sources import readers
+
+    q_fgb_decode(spark, sf_dir)  # ensure the fixture exists
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(f"/tmp/gz_fgb_{tag}_cap{SHP_FIXTURE_CAP}",
+                        "points.fgb")
+    out = readers.read_fgb_ranged(spark, path, n_splits=4)
+    return out.select(
+        F.col("props")["doc_id"].cast("long").alias("doc_id"),
+        cols.point_x(F.col("geom")).cast("long").alias("x_c"),
+        cols.point_y(F.col("geom")).cast("long").alias("y_c"))
+
+
 def q_gpx_decode(spark, sf_dir):
     """GPX reader through the Spark layer: per-page GPX documents
     (waypoint + track + route) -> member geometries in the reference's
@@ -868,6 +890,7 @@ QUERIES = {
     "gpx_decode": q_gpx_decode,
     "shp_decode": q_shp_decode,
     "fgb_decode": q_fgb_decode,
+    "fgb_ranged_decode": q_fgb_ranged_decode,
     "mvt_tiles": q_mvt_tiles,
     "mvt_feature_counts": q_mvt_feature_counts,
     "mvt_content": q_mvt_content,
