@@ -196,6 +196,10 @@ def read_info(buf: bytes) -> FgbInfo:
 
 def _rtree_level_sizes(num_items: int, node_size: int) -> list[int]:
     """Nodes per level bottom-up (leaves first), flatbush layout."""
+    if node_size < 2:
+        # spec minimum; a crafted/buggy node_size of 1 would loop
+        # forever in the level reduction below
+        raise FgbError(f"invalid R-tree node size {node_size}")
     sizes = [num_items]
     n = num_items
     while n != 1:

@@ -44,20 +44,40 @@ def file_range_source(path: str):
 
 def http_range_source(url: str, timeout: float = 30.0):
     """read(offset, size) via HTTP Range requests (RFC 7233). One
-    request per call; callers batch (node runs, feature chunks) so the
-    request count stays O(visited nodes + hits), not O(bytes)."""
+    request per call; callers batch (node runs, hit runs, scan chunks)
+    so the request count stays O(visited nodes + hit runs), not
+    O(bytes).
+
+    Protocol edges handled here so callers can treat the source as a
+    plain byte array: a read at/after EOF answers 416 Range Not
+    Satisfiable on spec-compliant servers -> returned as b'' (EOF,
+    what sequential scans probe for); a server that IGNORES Range
+    answers 200 with the whole body -> the body is downloaded ONCE,
+    cached, and every later read slices it (re-downloading per call
+    would be O(file_size x calls))."""
+    from urllib.error import HTTPError
     from urllib.request import Request, urlopen
 
+    whole: list = []  # [bytes] once a 200 reveals no Range support
+
     def read(offset: int, size: int) -> bytes:
+        if whole:
+            return whole[0][offset:offset + size]
         req = Request(url, headers={
             "Range": f"bytes={offset}-{offset + size - 1}"})
-        with urlopen(req, timeout=timeout) as resp:
-            if resp.status not in (200, 206):
-                raise FgbError(f"range request failed: {resp.status}")
-            data = resp.read()
-        # a 200 (server ignored Range) returns the whole file: slice
-        if resp.status == 200:
-            data = data[offset:offset + size]
+        try:
+            with urlopen(req, timeout=timeout) as resp:
+                status = resp.status
+                data = resp.read()
+        except HTTPError as e:
+            if e.code == 416:  # past EOF: sequential scans probe this
+                return b""
+            raise
+        if status == 200:  # no Range support: whole body came back
+            whole.append(data)
+            return data[offset:offset + size]
+        if status != 206:
+            raise FgbError(f"range request failed: {status}")
         return data
     return read
 
@@ -157,6 +177,34 @@ def fetch_feature(read, info: FgbInfo, rel_offset: int):
     return geom, props
 
 
+def iter_hits(read, info: FgbInfo, rels: list, max_gap: int = 65536):
+    """Decode SORTED hit offsets with contiguous-run coalescing:
+    consecutive hits whose start gap is <= ``max_gap`` fetch as ONE
+    range (plus at most one follow-up for the final record's body) —
+    Hilbert-ordered bbox hits are usually byte-adjacent, so this is
+    O(runs) requests instead of 2 per feature. Records between two
+    hits of a run always END before the next hit's start (features
+    are sequential), so the run bytes cover every hit but the last's
+    tail."""
+    i, n = 0, len(rels)
+    while i < n:
+        j = i
+        while j + 1 < n and rels[j + 1] - rels[j] <= max_gap:
+            j += 1
+        start = info.feature_pos + rels[i]
+        last = info.feature_pos + rels[j]
+        head = read(start, last - start + 4)
+        flen = struct.unpack_from("<I", head, last - start)[0]
+        need = last - start + 4 + flen
+        buf = head if len(head) >= need else \
+            head + read(start + len(head), need - len(head))
+        for r in rels[i:j + 1]:
+            _, geom, props = decode_feature(
+                buf, info.feature_pos + r - start, info)
+            yield geom, props
+        i = j + 1
+
+
 def iter_span(read, info: FgbInfo, start: int, end, max_features=None):
     """Yield features whose records START in [start, end) (absolute
     byte offsets; end=None -> EOF), fetching ``_CHUNK``-sized ranges
@@ -213,8 +261,8 @@ def iter_features_ranged(read, bbox: tuple | None = None,
                         and bb[1] <= maxy and bb[3] >= miny:
                     yield geom, props
             return
-        for rel in search_index_ranged(read, info, *bbox):
-            yield fetch_feature(read, info, rel)
+        yield from iter_hits(read, info,
+                             search_index_ranged(read, info, *bbox))
         return
     yield from iter_span(read, info, info.feature_pos, None,
                          max_features=info.features_count or None)

@@ -94,7 +94,10 @@ def _jpeg_dims(b: bytes):
             return None
         if m in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF seen
             return None
-        if 0xD0 <= m <= 0xD7 or m in (0x01, 0xFF):  # standalone/fill
+        if m == 0xFF:  # fill byte: consumes ONE byte (T.81 B.1.1.2),
+            i += 1     # the next 0xFF+marker pair is re-tested whole
+            continue
+        if 0xD0 <= m <= 0xD7 or m == 0x01:  # standalone markers
             i += 2
             continue
         seg = int.from_bytes(b[i + 2:i + 4], "big")

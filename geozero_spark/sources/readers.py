@@ -422,7 +422,8 @@ def read_fgb_ranged(spark: SparkSession, url: str,
         for p in payload:
             spec = json.loads(p)
             if mode == "hits":
-                it = (kr.fetch_feature(src, info, rel) for rel in spec)
+                # contiguous hit runs fetch as single ranges
+                it = kr.iter_hits(src, info, spec)
             else:
                 it = kr.iter_span(src, info, spec[0], spec[1])
             rows = []
@@ -447,9 +448,11 @@ def read_fgb_ranged(spark: SparkSession, url: str,
     tdf = spark.createDataFrame(tasks, "split_id int, payload string") \
         .repartition(len(tasks), "split_id")
     raw = tdf.select("split_id", fetch(F.col("payload")).alias("_recs"))
+    # plain posexplode: an empty split (e.g. a bbox with no hits) must
+    # contribute ZERO rows, not a phantom all-NULL feature
     return (raw.select(
         "split_id",
-        F.posexplode_outer("_recs").alias("feature_idx", "_j"))
+        F.posexplode("_recs").alias("feature_idx", "_j"))
         .withColumn("_r", F.from_json(
             "_j", "wkb string, props map<string,string>"))
         .withColumn("geom", F.when(
@@ -485,7 +488,12 @@ def write_fgb(df: DataFrame, path: str, geom_col: str = "geom",
         from geozero_spark.kernel import fgbwrite
         from geozero_spark.kernel import structrepr as ksr
 
-        pdf = pd.concat(list(batches), ignore_index=True)
+        got = list(batches)
+        # an EMPTY DataFrame is legal input: no Arrow batches arrive,
+        # and pd.concat([]) raises — a header-only .fgb is still a
+        # valid file
+        pdf = (pd.concat(got, ignore_index=True) if got
+               else pd.DataFrame(columns=[geom_col] + prop_cols))
         feats = []
         for _, row in pdf.iterrows():
             g = row[geom_col]

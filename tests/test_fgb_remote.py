@@ -138,3 +138,119 @@ def test_spark_ranged_scan_local_and_http(spark, http_url):
     assert sorted(r.props["id"] for r in hits) == [
         "AUT", "CHE", "DEU", "DNK", "FRA", "RUS"]
     assert all(r.geom is not None for r in hits)
+
+
+# --------------------------------------------------------------------------
+# review fixes: protocol edges + run coalescing
+# --------------------------------------------------------------------------
+
+def test_iter_hits_matches_per_feature_fetch():
+    read, stats = _counting_source(FIX)
+    info = kr.read_info_ranged(read)
+    rels = kr.search_index_ranged(read, info, *BBOX)
+    runs = list(kr.iter_hits(read, info, rels))
+    one = [kr.fetch_feature(read, info, r) for r in rels]
+    assert [(kwkt.encode(g), p) for g, p in runs] == \
+        [(kwkt.encode(g), p) for g, p in one]
+    # coalescing degenerates correctly for single/empty inputs
+    assert list(kr.iter_hits(read, info, [])) == []
+    g1 = list(kr.iter_hits(read, info, rels[:1], max_gap=0))
+    assert kwkt.encode(g1[0][0]) == kwkt.encode(one[0][0])
+
+
+def test_rtree_node_size_one_rejected():
+    from geozero_spark.kernel import fgbwrite
+    with pytest.raises(fgb.FgbError, match="node size"):
+        fgb._rtree_level_sizes(10, 1)
+    pt = kwkt.decode("POINT(1 2)")
+    with pytest.raises(fgb.FgbError, match="node size"):
+        fgbwrite.encode([(pt, {}), (pt, {})], index_node_size=1)
+
+
+@pytest.fixture(scope="module")
+def strict_http():
+    """Spec-compliant Range server: 416 for out-of-range requests —
+    the laxer server above masked the EOF-probe path."""
+    import http.server
+    import threading as th
+
+    data = _buf()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            lo, hi = [int(v) for v in rng[6:].split("-")]
+            if lo >= len(data):
+                self.send_response(416)
+                self.send_header("Content-Range", f"bytes */{len(data)}")
+                self.end_headers()
+                return
+            chunk = data[lo:hi + 1]
+            self.send_response(206)
+            self.send_header("Content-Range",
+                             f"bytes {lo}-{lo + len(chunk) - 1}"
+                             f"/{len(data)}")
+            self.send_header("Content-Length", str(len(chunk)))
+            self.end_headers()
+            self.wfile.write(chunk)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = th.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/c.fgb"
+    srv.shutdown()
+
+
+def test_http_416_treated_as_eof(strict_http):
+    read = kr.http_range_source(strict_http)
+    assert read(10 ** 9, 16) == b""  # past EOF: empty, not a raise
+    feats = list(kr.iter_features_ranged(read))
+    assert len(feats) == 179
+    hits = list(kr.iter_features_ranged(read, bbox=BBOX))
+    assert _ids(hits) == ["AUT", "CHE", "DEU", "DNK", "FRA", "RUS"]
+
+
+@pytest.fixture(scope="module")
+def no_range_http():
+    """Server that IGNORES Range (plain 200 + whole body)."""
+    import http.server
+    import threading as th
+
+    data = _buf()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        hits = [0]
+
+        def do_GET(self):
+            type(self).hits[0] += 1
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = th.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/c.fgb", H.hits
+    srv.shutdown()
+
+
+def test_http_no_range_support_downloads_once(no_range_http):
+    url, hits = no_range_http
+    read = kr.http_range_source(url)
+    feats = list(kr.iter_features_ranged(read))
+    assert len(feats) == 179
+    assert hits[0] == 1  # whole body cached after the first 200
+
+
+def test_spark_ranged_bbox_no_hits_zero_rows(spark):
+    from geozero_spark.sources import readers
+    out = readers.read_fgb_ranged(
+        spark, FIX, bbox=(500.0, 500.0, 501.0, 501.0), n_splits=3)
+    assert out.count() == 0  # no phantom all-NULL row

@@ -246,3 +246,32 @@ def test_media_blob_synthesis_cross_engine(spark, duck):
     # and the planted lengths hold
     assert len(bytes(s[1][1])) == P.PNG_BLOB_LEN
     assert len(bytes(s[2][1])) == P.JPEG_BLOB_LEN
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """0xFF fill bytes consume ONE byte each (ITU T.81 B.1.1.2): an
+    odd-length fill run must not desync the marker walk."""
+    from geozero_spark.operators.media import _jpeg_dims
+
+    base = _jpeg(320, 200)
+    for fills in (1, 2, 3):
+        padded = base[:2] + b"\xff" * fills + base[2:]
+        assert _jpeg_dims(padded) == (320, 200), fills
+
+
+def test_write_fgb_empty_dataframe(spark, tmp_path):
+    """An empty DataFrame writes a valid header-only .fgb."""
+    import os
+
+    from geozero_spark.kernel import fgb, structrepr as sr
+    from geozero_spark.sources import readers
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [], f"fid long, geom struct<{sr.GEOMETRY_DDL}>")
+    path = os.path.join(str(tmp_path), "empty.fgb")
+    readers.write_fgb(df, path, name="empty")
+    buf = open(path, "rb").read()
+    info = fgb.read_info(buf)
+    assert info.features_count == 0
+    assert list(fgb.iter_features(buf)) == []
