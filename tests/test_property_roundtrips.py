@@ -67,3 +67,39 @@ def test_geojson_roundtrip(g):
 def test_struct_roundtrip(g):
     g2 = sr.from_struct(sr.to_struct(g))
     assert wkt.encode(g2) == wkt.encode(g)
+
+
+# --- FlatGeobuf writer/reader roundtrip (round 4) --------------------------
+
+# one fixed type per key: mixed-type columns are deliberately coerced
+# to strings by the writer's schema unification, which this roundtrip
+# test is not about
+_props = st.fixed_dictionaries({}, optional={
+    "pi": st.integers(min_value=-2**62, max_value=2**62),
+    "pf": st.floats(allow_nan=False, allow_infinity=False, width=64),
+    "ps": st.text(max_size=20),
+    "pb": st.booleans(),
+    "pr": st.binary(max_size=16),
+})
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(geom_strategy, _props), max_size=12),
+       st.booleans())
+def test_fgb_write_read_roundtrip(feats, indexed):
+    """encode -> iter_features preserves every geometry (via the WKT
+    writer) and every property, for random feature sets with and
+    without the spatial index."""
+    from geozero_spark.kernel import fgb, fgbwrite
+
+    out = fgbwrite.encode(feats, name="prop",
+                          index_node_size=16 if indexed else 0)
+    back = list(fgb.iter_features(out))
+    assert len(back) == len(feats)
+
+    def canon(g, p):
+        return (wkt.encode(g),
+                sorted((k, repr(v)) for k, v in p.items()))
+
+    assert sorted(canon(g, p) for g, p in back) == \
+        sorted(canon(g, p) for g, p in feats)
