@@ -163,6 +163,18 @@ def dedup_workload(spark, clones: int, reps: int = 2):
     timed("minhash_pairs", lambda: dedup.minhash_lsh_pairs(
         docs, num_perm=16, bands=4, fast=True).count())
 
+    # pairs -> connected components -> survivor: timed over a
+    # PERSISTED pair set (built untimed) so the stage measures the
+    # alternating large/small-star rounds, not a pair recompute; the
+    # planted dup groups (~20 clones each) make ~7M edges at
+    # clones=100
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_perm=16, bands=4, fast=True).persist()
+    pairs.count()
+    timed("dup_clusters", lambda: dedup.dup_clusters(
+        docs.select("doc_id"), pairs).where("keep").count())
+    pairs.unpersist()
+
     emb = spark.read.parquet(_emb_parquet(spark, clones))
     n_vecs = emb.count()
     q = (emb.where(F.col("vec_id") % 997 == 0)

