@@ -402,3 +402,9 @@ def iter_features(buf: bytes, bbox: tuple | None = None):
         pos, geom, props = decode_feature(buf, pos, info)
         n += 1
         yield geom, props
+    if info.features_count and n < info.features_count:
+        # a buffer cut between the index and feature records would
+        # otherwise read as a VALID empty/short file — fail loudly
+        raise FgbError(
+            f"truncated FlatGeobuf: {n} of "
+            f"{info.features_count} features present")

@@ -290,3 +290,20 @@ def test_spark_write_fgb_roundtrip(spark, tmpdir_path):
     got = sorted((int(r.props["fid"]),
                   r.geom.coords[0], r.geom.coords[1]) for r in back)
     assert got == [(i, float(i), float(i * 2)) for i in range(20)]
+
+
+def test_truncation_never_silent_or_hanging():
+    """Any truncation of a written file must either raise FgbError (or
+    a decode error) or yield the complete feature set — never a silent
+    short read, never a hang."""
+    from geozero_spark.kernel.model import Geom, POINT
+
+    feats = [(Geom(POINT, (float(i), float(i * 2))), {"i": i})
+             for i in range(30)]
+    out = fgbwrite.encode(feats)
+    for cut in range(0, len(out), 13):
+        try:
+            got = list(fgb.iter_features(out[:cut]))
+        except (fgb.FgbError, ValueError):
+            continue
+        assert len(got) == 30, f"silent short read at cut={cut}"
