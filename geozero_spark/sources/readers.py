@@ -337,8 +337,11 @@ def _feature_blob_scan(spark: SparkSession, path: str, glob: str,
     raw = (spark.read.format("binaryFile")
            .option("pathGlobFilter", glob).load(path)
            .select("path", records(F.col("content")).alias("_recs")))
+    # plain posexplode: a file yielding zero features (e.g. a bbox
+    # pruning everything, or an empty-but-valid container) contributes
+    # ZERO rows, not a phantom all-NULL feature
     return (raw.select(
-        "path", F.posexplode_outer("_recs").alias("feature_idx", "_j"))
+        "path", F.posexplode("_recs").alias("feature_idx", "_j"))
         .withColumn("_r", F.from_json(
             "_j", "wkb string, props map<string,string>"))
         .withColumn("geom", F.when(
@@ -514,6 +517,57 @@ def write_fgb(df: DataFrame, path: str, geom_col: str = "geom",
         yield pd.DataFrame({"n": [len(feats)]})
 
     df.coalesce(1).mapInPandas(write_part, "n long").count()
+
+
+def write_fgb_dir(df: DataFrame, path: str, geom_col: str = "geom",
+                  name: str | None = None, srid: int | None = None,
+                  index_node_size: int = 16) -> int:
+    """Partition-parallel FlatGeobuf sink: one .fgb file PER PARTITION
+    into a directory (part-00000.fgb, ...), each file independently
+    Hilbert-sorted and indexed — the parallel dual of write_fgb's
+    single-container mode, and exactly what read_fgb's directory scan
+    consumes. Empty partitions write nothing. Returns the number of
+    files written. On a real cluster ``path`` must be shared storage;
+    repartition the input first to choose the file count/size."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    prop_cols = [c for c in df.columns if c != geom_col]
+
+    def write_part(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from geozero_spark.kernel import fgbwrite
+        from geozero_spark.kernel import structrepr as ksr
+
+        got = list(batches)
+        if not got:
+            yield pd.DataFrame({"n": pd.Series([], dtype="int64")})
+            return
+        pdf = pd.concat(got, ignore_index=True)
+        feats = []
+        for _, row in pdf.iterrows():
+            g = row[geom_col]
+            geom = None if g is None else ksr.from_struct(g)
+            props = {}
+            for c in prop_cols:
+                v = row[c]
+                if v is None or (isinstance(v, float) and v != v):
+                    continue
+                props[c] = v.item() if hasattr(v, "item") else v
+            feats.append((geom, props))
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}.fgb")
+        buf = fgbwrite.encode(feats, name=name, srid=srid,
+                              index_node_size=index_node_size)
+        tmp = out + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, out)
+        yield pd.DataFrame({"n": [len(feats)]})
+
+    return df.mapInPandas(write_part, "n long").count()
 
 
 def read_gpkg(spark: SparkSession, path: str,

@@ -307,3 +307,27 @@ def test_truncation_never_silent_or_hanging():
         except (fgb.FgbError, ValueError):
             continue
         assert len(got) == 30, f"silent short read at cut={cut}"
+
+
+def test_spark_write_fgb_dir_parallel_roundtrip(spark, tmpdir_path):
+    """Directory sink: one indexed .fgb per partition, consumed back by
+    read_fgb's directory scan; bbox pushdown applies per file."""
+    import os as _os
+
+    from geozero_spark.kernel import structrepr as sr
+    from geozero_spark.sources import readers
+
+    rows = [(i, sr.to_struct(_kwkt_decode(f"POINT({i % 50} {i // 50})")))
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, f"fid long, geom struct<{sr.GEOMETRY_DDL}>").repartition(4)
+    d = _os.path.join(tmpdir_path, "pts_dir")
+    n = readers.write_fgb_dir(df, d, name="pts")
+    files = sorted(f for f in _os.listdir(d) if f.endswith(".fgb"))
+    assert len(files) == 4 and n == 4
+    back = readers.read_fgb(spark, d).collect()
+    assert len(back) == 200
+    assert sorted(int(r.props["fid"]) for r in back) == list(range(200))
+    hits = readers.read_fgb(spark, d, bbox=(0.0, 0.0, 3.0, 0.5)).collect()
+    want = [i for i in range(200) if i % 50 <= 3 and i // 50 == 0]
+    assert sorted(int(r.props["fid"]) for r in hits) == want
