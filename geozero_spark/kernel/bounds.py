@@ -75,6 +75,16 @@ def bounds(g: Geom):
     return (xmin, ymin, xmax, ymax) if seen else None
 
 
+def intersects_bbox(g: Geom, minx: float, miny: float, maxx: float,
+                    maxy: float) -> bool:
+    """Envelope-overlap predicate: True iff the geometry has a bbox and
+    it intersects (minx, miny, maxx, maxy) — the filter every
+    sequential-scan bbox fallback applies."""
+    bb = bounds(g)
+    return (bb is not None and bb[0] <= maxx and bb[2] >= minx
+            and bb[1] <= maxy and bb[3] >= miny)
+
+
 def npoints(g: Geom) -> int:
     """Coordinate count (VertexCounter exemplar, tests/geozero-api.rs:5-27)."""
     return sum(1 for _ in _iter_coords(g))

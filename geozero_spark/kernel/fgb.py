@@ -384,15 +384,8 @@ def iter_features(buf: bytes, bbox: tuple | None = None):
         # envelope filter (same result set, no hard failure — one
         # unindexed file must not abort a whole directory scan)
         from . import bounds as _bounds
-        minx, miny, maxx, maxy = bbox
         for geom, props in iter_features(buf):
-            if geom is None:
-                continue
-            bb = _bounds.bounds(geom)
-            if bb is None:
-                continue
-            if (bb[0] <= maxx and bb[2] >= minx
-                    and bb[1] <= maxy and bb[3] >= miny):
+            if geom is not None and _bounds.intersects_bbox(geom, *bbox):
                 yield geom, props
         return
     pos = info.feature_pos

@@ -252,13 +252,9 @@ def iter_features_ranged(read, bbox: tuple | None = None,
     if bbox is not None:
         if info.index_node_size <= 0 or info.features_count == 0:
             from . import bounds as _bounds
-            minx, miny, maxx, maxy = bbox
             for geom, props in iter_features_ranged(read, info=info):
-                if geom is None:
-                    continue
-                bb = _bounds.bounds(geom)
-                if bb and bb[0] <= maxx and bb[2] >= minx \
-                        and bb[1] <= maxy and bb[3] >= miny:
+                if geom is not None and _bounds.intersects_bbox(
+                        geom, *bbox):
                     yield geom, props
             return
         yield from iter_hits(read, info,

@@ -304,6 +304,47 @@ def read_shp_indexed(spark: SparkSession, shp_path: str,
     return out.withColumn("geom", dec("_wkb")).drop("_wkb")
 
 
+def _feature_json_rows(feat_iter) -> list:
+    """(Geom | None, props) stream -> one JSON string per feature,
+    matching the `wkb string, props map<string,string>` from_json
+    schema every feature scan shares (pyspark's Arrow serializer
+    crashes on struct-typed UDF outputs — types.py metadata bug, see
+    CLAUDE.md — hence the JSON detour)."""
+    from ..kernel import wkb as kwkb
+
+    rows = []
+    for geom, props in feat_iter:
+        blob = (None if geom is None else
+                kwkb.encode(geom, dialect=kwkb.DIALECT_EWKB))
+        rows.append(json.dumps({
+            "wkb": None if blob is None else blob.hex(),
+            "props": {k: None if v is None else str(v)
+                      for k, v in props.items()}}))
+    return rows
+
+
+def _rows_to_features(pdf: pd.DataFrame, geom_col: str,
+                      prop_cols: list) -> list:
+    """pandas rows -> [(Geom | None, props)] for the fgb sinks —
+    column-wise iteration (iterrows is the slow path), numpy scalars
+    unwrapped, None/NaN props dropped (FlatGeobuf has no null
+    property encoding)."""
+    from geozero_spark.kernel import structrepr as ksr
+
+    series = [pdf[c] for c in prop_cols]
+    feats = []
+    for i, g in enumerate(pdf[geom_col]):
+        geom = None if g is None else ksr.from_struct(g)
+        props = {}
+        for c, s in zip(prop_cols, series):
+            v = s.iat[i]
+            if v is None or (isinstance(v, float) and v != v):
+                continue
+            props[c] = v.item() if hasattr(v, "item") else v
+        feats.append((geom, props))
+    return feats
+
+
 def _feature_blob_scan(spark: SparkSession, path: str, glob: str,
                        feat_iter) -> DataFrame:
     """Shared feature-file scan plumbing: binaryFile -> per-file
@@ -316,21 +357,10 @@ def _feature_blob_scan(spark: SparkSession, path: str, glob: str,
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
-    from ..kernel import wkb as kwkb
-
     @pandas_udf(ArrayType(StringType()))
     def records(content: pd.Series) -> pd.Series:
-        out = []
-        for buf in content:
-            rows = []
-            for geom, props in feat_iter(bytes(buf)):
-                blob = (None if geom is None else
-                        kwkb.encode(geom, dialect=kwkb.DIALECT_EWKB))
-                rows.append(json.dumps({
-                    "wkb": None if blob is None else blob.hex(),
-                    "props": {k: None if v is None else str(v)
-                              for k, v in props.items()}}))
-            out.append(rows)
+        out = [_feature_json_rows(feat_iter(bytes(buf)))
+               for buf in content]
         return pd.Series(out, dtype=object)
 
     dec = udfs.st_geomfromwkb(dialect="ewkb")
@@ -393,7 +423,6 @@ def read_fgb_ranged(spark: SparkSession, url: str,
 
     from ..kernel import fgb as kfgb
     from ..kernel import fgbremote as kr
-    from ..kernel import wkb as kwkb
 
     remote = url.startswith("http://") or url.startswith("https://")
     read = (kr.http_range_source(url) if remote
@@ -429,22 +458,11 @@ def read_fgb_ranged(spark: SparkSession, url: str,
                 it = kr.iter_hits(src, info, spec)
             else:
                 it = kr.iter_span(src, info, spec[0], spec[1])
-            rows = []
-            for geom, props in it:
-                if mode == "spans" and bbox is not None:
-                    if geom is None:
-                        continue
-                    bb = kbounds.bounds(geom)
-                    if bb is None or bb[0] > bbox[2] or bb[2] < bbox[0] \
-                            or bb[1] > bbox[3] or bb[3] < bbox[1]:
-                        continue
-                blob = (None if geom is None else
-                        kwkb.encode(geom, dialect=kwkb.DIALECT_EWKB))
-                rows.append(json.dumps({
-                    "wkb": None if blob is None else blob.hex(),
-                    "props": {k2: None if v is None else str(v)
-                              for k2, v in props.items()}}))
-            out.append(rows)
+                if bbox is not None:  # unindexed file: filter inline
+                    it = ((g, pr) for g, pr in it
+                          if g is not None
+                          and kbounds.intersects_bbox(g, *bbox))
+            out.append(_feature_json_rows(it))
         return pd.Series(out, dtype=object)
 
     dec = udfs.st_geomfromwkb(dialect="ewkb")
@@ -489,7 +507,6 @@ def write_fgb(df: DataFrame, path: str, geom_col: str = "geom",
     def write_part(batches: Iterator[pd.DataFrame]
                    ) -> Iterator[pd.DataFrame]:
         from geozero_spark.kernel import fgbwrite
-        from geozero_spark.kernel import structrepr as ksr
 
         got = list(batches)
         # an EMPTY DataFrame is legal input: no Arrow batches arrive,
@@ -497,17 +514,7 @@ def write_fgb(df: DataFrame, path: str, geom_col: str = "geom",
         # valid file
         pdf = (pd.concat(got, ignore_index=True) if got
                else pd.DataFrame(columns=[geom_col] + prop_cols))
-        feats = []
-        for _, row in pdf.iterrows():
-            g = row[geom_col]
-            geom = None if g is None else ksr.from_struct(g)
-            props = {}
-            for c in prop_cols:
-                v = row[c]
-                if v is None or (isinstance(v, float) and v != v):
-                    continue
-                props[c] = v.item() if hasattr(v, "item") else v
-            feats.append((geom, props))
+        feats = _rows_to_features(pdf, geom_col, prop_cols)
         buf = fgbwrite.encode(feats, name=name, srid=srid,
                               index_node_size=index_node_size)
         tmp = path + ".tmp"
@@ -539,24 +546,13 @@ def write_fgb_dir(df: DataFrame, path: str, geom_col: str = "geom",
         from pyspark import TaskContext
 
         from geozero_spark.kernel import fgbwrite
-        from geozero_spark.kernel import structrepr as ksr
 
         got = list(batches)
         if not got:
             yield pd.DataFrame({"n": pd.Series([], dtype="int64")})
             return
         pdf = pd.concat(got, ignore_index=True)
-        feats = []
-        for _, row in pdf.iterrows():
-            g = row[geom_col]
-            geom = None if g is None else ksr.from_struct(g)
-            props = {}
-            for c in prop_cols:
-                v = row[c]
-                if v is None or (isinstance(v, float) and v != v):
-                    continue
-                props[c] = v.item() if hasattr(v, "item") else v
-            feats.append((geom, props))
+        feats = _rows_to_features(pdf, geom_col, prop_cols)
         pid = TaskContext.get().partitionId()
         out = os.path.join(path, f"part-{pid:05d}.fgb")
         buf = fgbwrite.encode(feats, name=name, srid=srid,
