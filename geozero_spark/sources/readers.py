@@ -566,6 +566,39 @@ def write_fgb_dir(df: DataFrame, path: str, geom_col: str = "geom",
     return df.mapInPandas(write_part, "n long").count()
 
 
+def write_gpkg(df: DataFrame, path: str, geom_col: str = "geom",
+               table: str = "features", srid: int = 4326) -> None:
+    """Write a DataFrame with a geometry struct column as ONE
+    GeoPackage file (kernel/gpkgwrite.py — full GPKG core profile:
+    application_id, srs registry, contents, geometry_columns, features
+    with gpkg-dialect WKB). Like write_fgb, a .gpkg is a single
+    sequential container, so ONE executor task materializes it via
+    mapInPandas over a coalesced partition (temp-write + rename); on a
+    real cluster ``path`` must be shared storage. Output is valid per
+    sqlite3's integrity_check and readable by read_gpkg."""
+    import os
+
+    prop_cols = [c for c in df.columns if c != geom_col]
+
+    def write_part(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        from geozero_spark.kernel import gpkgwrite
+
+        got = list(batches)
+        pdf = (pd.concat(got, ignore_index=True) if got
+               else pd.DataFrame(columns=[geom_col] + prop_cols))
+        feats = _rows_to_features(pdf, geom_col, prop_cols)
+        buf = gpkgwrite.encode(feats, table=table, geom_col=geom_col,
+                               srid=srid)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, path)
+        yield pd.DataFrame({"n": [len(feats)]})
+
+    df.coalesce(1).mapInPandas(write_part, "n long").count()
+
+
 def read_gpkg(spark: SparkSession, path: str,
               table: str | None = None) -> DataFrame:
     """GeoPackage FEATURE scan without a database server (the

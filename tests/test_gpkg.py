@@ -103,3 +103,121 @@ def test_parse_columns_quoted_identifiers():
     names2, ipk2 = S.parse_columns(
         "CREATE TABLE x (id INTEGER, name TEXT, PRIMARY KEY (id))")
     assert names2 == ["id", "name"] and ipk2 == "id"
+
+
+# --------------------------------------------------------------------------
+# writer (kernel/sqlitewrite.py + kernel/gpkgwrite.py) — pinned against
+# the repo's own reader AND stdlib sqlite3 (integrity_check included)
+# --------------------------------------------------------------------------
+
+from geozero_spark.kernel import gpkgwrite, sqlitewrite  # noqa: E402
+
+
+def _sqlite3_open(buf, tmp_path, name="w.gpkg"):
+    p = os.path.join(str(tmp_path), name)
+    with open(p, "wb") as f:
+        f.write(buf)
+    return sqlite3.connect(p)
+
+
+def test_write_roundtrip_reference_features(tmp_path):
+    """Decode the reference fixture's pt2d features, re-encode with the
+    GPKG writer, re-read with kernel/gpkg.py and sqlite3: geometry +
+    property parity, registry row, valid file per integrity_check."""
+    feats = [({k: v for k, v in props.items() if k != "fid"}, g)
+             for props, g in kgpkg.read_features(_buf(), table="pt2d")]
+    out = gpkgwrite.encode(((g, p) for p, g in feats), table="pt2d")
+
+    regs = kgpkg.geometry_tables(out)
+    assert (regs[0]["table_name"], regs[0]["column_name"]) == \
+        ("pt2d", "geom")
+    assert regs[0]["srs_id"] == 4326
+
+    back = list(kgpkg.read_features(out, table="pt2d"))
+    assert len(back) == len(feats)
+    for (p0, g0), (p1, g1) in zip(feats, back):
+        assert (g0 is None) == (g1 is None)
+        if g0 is not None:
+            assert kwkt.encode(g1) == kwkt.encode(g0)
+            assert g1.srid == 4326
+        for k, v in p0.items():
+            assert p1[k] == v
+
+    con = _sqlite3_open(out, tmp_path)
+    assert con.execute("pragma integrity_check").fetchone() == ("ok",)
+    assert con.execute("pragma application_id").fetchone()[0] \
+        == 0x47504B47
+    n_null = con.execute(
+        "select count(*) from pt2d where geom is null").fetchone()[0]
+    assert n_null == sum(1 for _, g in feats if g is None)
+
+
+def test_write_multileaf_and_overflow(tmp_path):
+    """5000 features (interior B-tree pages) + one geometry whose gpkg
+    blob exceeds the page-local maximum (overflow chain): both readers
+    agree, integrity_check passes."""
+    from geozero_spark.kernel.model import Geom, LINESTRING, POINT
+
+    feats = [(Geom(POINT, (float(i % 100), float(i // 100))),
+              {"tag": f"t{i:05d}"}) for i in range(5000)]
+    big = Geom(LINESTRING, [(float(i), float(i % 7)) for i in range(700)])
+    feats[123] = (big, {"tag": "big"})  # ~11KB blob > 4061 local max
+    out = gpkgwrite.encode(feats, table="grid")
+    back = list(kgpkg.read_features(out, table="grid"))
+    assert len(back) == 5000
+    assert kwkt.encode(back[123][1]) == kwkt.encode(big)
+    con = _sqlite3_open(out, tmp_path, "big.gpkg")
+    assert con.execute("pragma integrity_check").fetchone() == ("ok",)
+    assert con.execute("select count(*) from grid").fetchone() == (5000,)
+    assert con.execute(
+        "select length(geom) from grid where fid=124").fetchone()[0] \
+        > 11000
+
+
+def test_sqlitewrite_value_types_and_rowids(tmp_path):
+    buf = sqlitewrite.build_db([(
+        "t", "CREATE TABLE t (id INTEGER PRIMARY KEY, s TEXT, "
+        "f DOUBLE, b BLOB, i INTEGER)",
+        [(-5, "neg", -0.5, b"\x00\xff", 2 ** 50), (1, "", 0.0, b"", 0),
+         (7, None, None, None, None)])])
+    rows = list(SqliteFile(buf).rows("t"))
+    assert [r["id"] for r in rows] == [-5, 1, 7]
+    assert rows[0]["b"] == b"\x00\xff" and rows[0]["i"] == 2 ** 50
+    con = _sqlite3_open(buf, tmp_path, "vals.db")
+    assert con.execute("select * from t order by id").fetchall() == [
+        (-5, "neg", -0.5, b"\x00\xff", 2 ** 50), (1, "", 0.0, b"", 0),
+        (7, None, None, None, None)]
+    assert con.execute("pragma integrity_check").fetchone() == ("ok",)
+
+
+def test_sqlitewrite_guards():
+    with pytest.raises(SqliteError, match="page size"):
+        sqlitewrite.build_db([], page_size=1000)
+    with pytest.raises(SqliteError, match="columns"):
+        sqlitewrite.build_db([(
+            "t", "CREATE TABLE t (a INTEGER, b TEXT)", [(1,)])])
+    with pytest.raises(SqliteError, match="PRIMARY KEY"):
+        sqlitewrite.build_db([(
+            "t", "CREATE TABLE t (a INTEGER PRIMARY KEY)", [("x",)])])
+
+
+def test_spark_write_gpkg_roundtrip(spark, tmp_path):
+    """Spark sink -> read_gpkg scan: same features back."""
+    from geozero_spark.kernel import structrepr as sr
+    from geozero_spark.sources import readers
+
+    rows = [(f"f{i}", i * 1.5,
+             sr.to_struct(kwkt.decode(f"POINT({i} {i + 0.5})")))
+            for i in range(25)]
+    df = spark.createDataFrame(
+        rows, f"name string, score double, geom struct<{sr.GEOMETRY_DDL}>")
+    p = os.path.join(str(tmp_path), "pts.gpkg")
+    readers.write_gpkg(df, p, table="pts")
+    back = readers.read_gpkg(spark, str(tmp_path), table="pts").collect()
+    assert len(back) == 25
+    got = sorted((r.props["name"], r.geom.coords[0], r.geom.coords[1])
+                 for r in back)
+    assert got == sorted(
+        (f"f{i}", float(i), i + 0.5) for i in range(25))
+    con = sqlite3.connect(p)
+    assert con.execute("pragma integrity_check").fetchone() == ("ok",)
