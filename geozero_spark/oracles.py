@@ -826,6 +826,10 @@ ORACLES["fgb_decode"] = (
 # the range-read scan decodes the SAME fixture split into byte ranges
 ORACLES["fgb_ranged_decode"] = ORACLES["fgb_decode"]
 
+# the gpkg fixture carries the same planted points (writer -> B-tree
+# walker roundtrip); doc_id rides as a property
+ORACLES["gpkg_decode"] = ORACLES["fgb_decode"]
+
 
 # event-time tumbling window: warc_ts = epoch + doc_id seconds; the
 # 1-hour window start is integer floor division (all values positive)

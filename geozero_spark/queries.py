@@ -559,6 +559,37 @@ def q_fgb_ranged_decode(spark, sf_dir):
         cols.point_y(F.col("geom")).cast("long").alias("y_c"))
 
 
+def q_gpkg_decode(spark, sf_dir):
+    """GeoPackage writer + reader through the Spark layer: synthetic
+    points -> geom struct -> write_gpkg (ONE executor task; full GPKG
+    core profile, kernel/sqlitewrite.py B-trees) -> read_gpkg scan
+    (kernel/sqlitefile.py walker). doc_id rides as a feature property;
+    fids enumerate input order so the oracle is order-insensitive."""
+    import hashlib
+    import os
+
+    from .sources import readers
+
+    P.register_views(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    d = f"/tmp/gz_gpkgw_{tag}_cap{SHP_FIXTURE_CAP}"
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "points.gpkg")
+    if not os.path.exists(path):
+        src = spark.sql(
+            f"SELECT doc_id, {P.LOC_WKT} AS wkt FROM documents "
+            f"ORDER BY doc_id LIMIT {SHP_FIXTURE_CAP}")
+        src = src.select(
+            "doc_id",
+            cols.point_struct_from_wkt_jvm(F.col("wkt")).alias("geom"))
+        readers.write_gpkg(src, path, table="points")
+    out = readers.read_gpkg(spark, d, table="points")
+    return out.select(
+        F.col("props")["doc_id"].cast("long").alias("doc_id"),
+        cols.point_x(F.col("geom")).cast("long").alias("x_c"),
+        cols.point_y(F.col("geom")).cast("long").alias("y_c"))
+
+
 def q_gpx_decode(spark, sf_dir):
     """GPX reader through the Spark layer: per-page GPX documents
     (waypoint + track + route) -> member geometries in the reference's
@@ -891,6 +922,7 @@ QUERIES = {
     "shp_decode": q_shp_decode,
     "fgb_decode": q_fgb_decode,
     "fgb_ranged_decode": q_fgb_ranged_decode,
+    "gpkg_decode": q_gpkg_decode,
     "mvt_tiles": q_mvt_tiles,
     "mvt_feature_counts": q_mvt_feature_counts,
     "mvt_content": q_mvt_content,
