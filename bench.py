@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness.
 
-Default: runs the headline suite once at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric", "value" (total sec), "unit", "queries" (per-op sec),
+Default: runs the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], each query
+best-of-$SPARK_GRAFT_REPS (default 2, every rep wall recorded), and
+prints ONE JSON line: {"metric", "value" (sum of per-query bests,
+sec), "unit", "queries" (per-op best sec), "queries_reps" (per-op
+rep walls — the spread that makes a slow artifact adjudicable),
 "sf", plus throughput extras}.
 
 --scaling: runs the north-rule workload (decode -> PIP join -> tiles)
@@ -237,8 +240,19 @@ def _warm_session(spark, cpus: int) -> None:
         _W.partitionBy("tag").orderBy("id"))).count())
 
 
-def core_workload(spark, clones: int, core_only: bool = False):
-    """North-rule workload; returns (timings dict, counts dict)."""
+def core_workload(spark, clones: int, core_only: bool = False,
+                  reps: int = 2):
+    """North-rule workload; returns (timings, counts, spreads, n_pts).
+
+    Every query runs ``reps`` times (best-of reported, all rep walls
+    recorded in ``spreads``) — run-to-run wobble on this box is
+    ±10-20% and a single-shot suite number inherits it query-by-query
+    (the round-4 driver artifact read +22% on code that did not
+    change; best-of-2 with recorded spread makes such an artifact
+    self-adjudicating). Stateful queries get an untimed ``setup``
+    per rep (cache drop for the persist-materializing counts, stage
+    dir wipe for the resumable write) so every rep measures the same
+    cold work."""
     from pyspark.sql import functions as F
 
     from geozero_spark import queries as Q
@@ -247,18 +261,35 @@ def core_workload(spark, clones: int, core_only: bool = False):
 
     t: dict[str, float] = {}
     c: dict[str, int] = {}
+    spread: dict[str, list] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        t[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, setup=None):
+        walls = []
+        out = None
+        for _ in range(reps):
+            if setup is not None:
+                setup()
+            t0 = time.perf_counter()
+            out = fn()
+            walls.append(round(time.perf_counter() - t0, 3))
+        t[name] = min(walls)
+        spread[name] = walls
         c[name] = out
         return out
 
     pages = spark.read.parquet(_pages_parquet(spark, clones))
     pts = Q.points_from_pages(pages).select(
         "doc_id", "xc", "yc", "lon", "lat").persist()
-    timed("decode_points", pts.count)
+
+    def _recache(df):
+        # rep 2 of a persist-materializing count must redo the decode,
+        # not read the cache back
+        def reset():
+            df.unpersist(blocking=True)
+            df.persist()
+        return reset
+
+    timed("decode_points", pts.count, setup=_recache(pts))
 
     polys = Q.zones_decoded(spark, SF_DIR).select("zone_id", "poly")
     if core_only:
@@ -283,7 +314,7 @@ def core_workload(spark, clones: int, core_only: bool = False):
         pts, "lon", "lat", 6).groupBy("z", "x", "y").count().count())
 
     geos = Q.geos_from_pages(pages).select("url", "geom").persist()
-    timed("decode_geos", geos.count)
+    timed("decode_geos", geos.count, setup=_recache(geos))
     timed("mvt_tiles", lambda: tiling.mvt_tiles(
         geos, 5, key="url", max_features=4096).count())
 
@@ -291,7 +322,7 @@ def core_workload(spark, clones: int, core_only: bool = False):
         n_pts = c["decode_points"]
         pts.unpersist()
         geos.unpersist()
-        return t, c, n_pts
+        return t, c, spread, n_pts
 
     # big-big fallback: cell equi-join (shuffle both sides) with
     # deterministic two-sided salting over the planted hot cells +
@@ -307,12 +338,14 @@ def core_workload(spark, clones: int, core_only: bool = False):
     import shutil
     from geozero_spark.plans import meta as pmeta
     stage_base = f"/tmp/gz_bench_stage_{CPUS}"
-    shutil.rmtree(stage_base, ignore_errors=True)
     cells = C.with_cell_col(pts, "lon", "lat", 8)
+    # wipe per rep: a surviving stage dir would make rep 2 a resume
+    # no-op and report the cheap path as the write
     timed("stage_write", lambda: sum(
         r for _, r, _ in pmeta.run_stage(
             spark, cells, stage_base, "pts", bucket_col="cell",
-            n_buckets=16, fingerprint="bench")))
+            n_buckets=16, fingerprint="bench")),
+        setup=lambda: shutil.rmtree(stage_base, ignore_errors=True))
     timed("stage_resume_noop", lambda: len(pmeta.run_stage(
         spark, cells, stage_base, "pts", bucket_col="cell",
         n_buckets=16, fingerprint="bench")))
@@ -360,7 +393,7 @@ def core_workload(spark, clones: int, core_only: bool = False):
     n_pts = c["decode_points"]
     pts.unpersist()
     geos.unpersist()
-    return t, c, n_pts
+    return t, c, spread, n_pts
 
 
 def main():
@@ -372,7 +405,7 @@ def main():
         s = _session(cpus)
         _warm_session(s, cpus)
         t0 = time.perf_counter()
-        t, c, n = core_workload(s, clones, core_only=True)
+        t, c, _sp, n = core_workload(s, clones, core_only=True)
         wall = time.perf_counter() - t0
         core = t["decode_points"] + t["pip_join"] + t["tile_counts"] \
             + t["decode_geos"] + t["mvt_tiles"]
@@ -439,18 +472,24 @@ def main():
         print(json.dumps(report))
         return
 
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
     spark = _session(CPUS)
     _warm_session(spark, CPUS)
-    t0 = time.perf_counter()
-    t, c, n_pts = core_workload(spark, CLONES)
-    total = round(time.perf_counter() - t0, 3)
+    t, c, spread, n_pts = core_workload(spark, CLONES, reps=reps)
+    # the headline value is the SUM OF PER-QUERY BESTS (not the raw
+    # wall, which with reps=2 includes every query twice): comparable
+    # to the old single-shot total minus its noise, and each term is
+    # defensible against its recorded spread
+    total = round(sum(t.values()), 3)
     join_rate = round(n_pts / t["pip_join"], 1)
     print(json.dumps({
-        "metric": "headline suite wall time (decode+pip+cells+tiles+mvt+"
-                  "knn+minhash+ann)",
+        "metric": "headline suite time, sum of per-query best-of-"
+                  f"{reps} (decode+pip+cells+tiles+mvt+knn+minhash+ann)",
         "value": total,
         "unit": "sec",
         "queries": t,
+        "queries_reps": spread,
+        "reps": reps,
         "sf": _sf(),
         "clones": CLONES,
         "points_rows": n_pts,

@@ -160,13 +160,27 @@ def ann_topk(queries: DataFrame, targets: DataFrame, k: int, dim: int,
              qvec: str = "qvec", tvec: str = "tvec",
              bits: int = 32, bands: int = 4, seed: int = 42,
              exclude_self: bool = True,
-             portable: bool = False) -> DataFrame:
+             portable: bool = False,
+             max_bucket: int | None = 100000) -> DataFrame:
     """Approximate top-k: LSH band-bucket candidates, exact cosine
     verify, per-query window. Same output schema as cosine_topk.
 
     portable=True derives signatures from hash-based planes via pure
     SQL expressions (JVM-side, DuckDB-reproducible — the oracle mode);
-    portable=False uses the vectorized numpy matmul (the scale mode)."""
+    portable=False uses the vectorized numpy matmul (the scale mode).
+
+    ``max_bucket`` bounds the candidate join against degenerate
+    buckets — e.g. a mass of all-zero or byte-identical embeddings
+    signs identically in every band, and an unbounded ``q JOIN t ON
+    bucket`` then goes quadratic in that mass (the exact skew
+    minhash_lsh_pairs bounds with its own max_bucket). Band buckets
+    whose TARGET population exceeds the cap are dropped from the join
+    (a broadcast anti-join on the tiny oversized-bucket set — the
+    target side still shuffles exactly once, on ``bucket``), so per
+    query and band at most ``max_bucket`` candidates arrive. Queries
+    landing only in dropped buckets return no rows — the standard
+    LSH degradation; the operator is approximate by contract.
+    ``None`` disables the bound."""
     if portable:
         def _sigged(df, vec):
             exprs = srp_band_buckets_sql(vec, dim, bits, bands, seed)
@@ -184,6 +198,12 @@ def ann_topk(queries: DataFrame, targets: DataFrame, k: int, dim: int,
         t = (targets.withColumn("_sig", sig(F.col(tvec)))
              .withColumn("bucket", F.explode("_sig")).drop("_sig")
              .withColumn("_tn", F.expr(norm2_expr(tvec))))
+    if max_bucket is not None:
+        oversized = (t.groupBy("bucket")
+                     .agg(F.count("*").alias("_bn"))
+                     .where(F.col("_bn") > max_bucket)
+                     .select("bucket"))
+        t = t.join(F.broadcast(oversized), on="bucket", how="left_anti")
     cand = q.join(t, on="bucket").drop("bucket")
     if exclude_self:
         cand = cand.where(F.col(query_key) != F.col(target_key))
@@ -241,7 +261,8 @@ def _assign(vectors: DataFrame, centroids: DataFrame, key: str,
 
 
 def ivf_fit(targets: DataFrame, k_clusters: int, iters: int = 2,
-            target_key: str = "t_id", tvec: str = "tvec") -> DataFrame:
+            target_key: str = "t_id", tvec: str = "tvec",
+            fast: bool = False) -> DataFrame:
     """Deterministic k-means: seed from the k SMALLEST target keys
     (TakeOrderedAndProject — no full sort, works for offset / sparse /
     filtered key spaces, unlike a ``key < k`` predicate which silently
@@ -249,6 +270,24 @@ def ivf_fit(targets: DataFrame, k_clusters: int, iters: int = 2,
     fewer than k seed vectors exist. Returns (cid, cvec array<double>);
     cid = the seed row's key, so on dense 0-based keys the result is
     identical to the old predicate seeding (oracle unchanged there).
+
+    Centroid recompute has the fast/portable dual every other operator
+    here has:
+
+    - ``fast=False`` (oracle mode): per-dimension mean where the sum
+      FOLDS in ascending target_key order from 0.0 — array_sort(
+      collect_list) + aggregate, bit-identical to the DuckDB oracle's
+      list(val ORDER BY t_id) + list_reduce. The collect_list puts one
+      cluster-dimension's every member value in a single aggregation
+      buffer: fine at oracle scale, a memory bomb at 10^9 vectors.
+    - ``fast=True`` (scale mode): plain avg() per (cid, pos) —
+      map-side-combinable partial aggregation, NO collect_list
+      anywhere in the plan; the k*dim mean rows (same driver-size
+      bound as the broadcast centroids themselves) are assembled into
+      centroid arrays driver-side, which also truncates the per-round
+      lineage. Assignments agree with portable mode except where two
+      centroids tie in cosine to machine precision (float-sum
+      reordering); tests pin sf-corpus agreement.
     """
     seed = (targets
             .select(F.col(target_key).cast("long").alias("cid"),
@@ -261,34 +300,61 @@ def ivf_fit(targets: DataFrame, k_clusters: int, iters: int = 2,
         raise ValueError(
             f"ivf_fit: need >= {k_clusters} target vectors to seed "
             f"centroids, got {len(rows)}")
-    c = targets.sparkSession.createDataFrame(rows, schema=seed.schema)
+    spark = targets.sparkSession
+    c = spark.createDataFrame(rows, schema=seed.schema)
     for _ in range(iters):
         a = _assign(targets, c, target_key, tvec)
-        pe = (a.join(targets.select(target_key, tvec), on=target_key)
-              .select("cid", F.col(target_key).alias("_tk"),
-                      F.posexplode(tvec).alias("pos", "val")))
-        pm = (pe.groupBy("cid", "pos")
-              .agg(F.expr("aggregate(array_sort(collect_list("
-                          "struct(_tk, val))), CAST(0.0 AS DOUBLE), "
-                          "(acc, s) -> acc + s.val)").alias("_s"),
-                   F.count("*").alias("_n"))
-              .withColumn("m", F.col("_s") / F.col("_n").cast("double")))
-        c = pm.groupBy("cid").agg(F.expr(
-            "transform(array_sort(collect_list(struct(pos, m))), "
-            "s -> s.m)").alias("cvec"))
+        pm = _centroid_means(a, targets, target_key, tvec, fast)
+        if fast:
+            by_cid: dict = {}
+            for r in pm.collect():  # k_clusters * dim tiny rows
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+            data = [(cid, [d[p] for p in sorted(d)])
+                    for cid, d in sorted(by_cid.items())]
+            c = spark.createDataFrame(data, schema=seed.schema)
+        else:
+            c = pm.groupBy("cid").agg(F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), "
+                "s -> s.m)").alias("cvec"))
     return c
+
+
+def _centroid_means(assign: DataFrame, targets: DataFrame,
+                    target_key: str, tvec: str,
+                    fast: bool) -> DataFrame:
+    """One Lloyd round's per-(cid, pos) means. fast=True is a plain
+    avg() — map-side-combinable partials, no collect_list in the plan
+    (pinned by test_similarity); fast=False is the oracle's sorted
+    fold, which buffers every member value of a (cid, pos) group."""
+    if fast:
+        pe = (assign.join(targets.select(target_key, tvec),
+                          on=target_key)
+              .select("cid", F.posexplode(tvec).alias("pos", "val")))
+        return (pe.groupBy("cid", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("m")))
+    pe = (assign.join(targets.select(target_key, tvec), on=target_key)
+          .select("cid", F.col(target_key).alias("_tk"),
+                  F.posexplode(tvec).alias("pos", "val")))
+    return (pe.groupBy("cid", "pos")
+            .agg(F.expr("aggregate(array_sort(collect_list("
+                        "struct(_tk, val))), CAST(0.0 AS DOUBLE), "
+                        "(acc, s) -> acc + s.val)").alias("_s"),
+                 F.count("*").alias("_n"))
+            .withColumn("m", F.col("_s") / F.col("_n").cast("double")))
 
 
 def ivf_topk(queries: DataFrame, targets: DataFrame, k: int,
              k_clusters: int = 8, probe: int = 2, iters: int = 2,
              query_key: str = "q_id", target_key: str = "t_id",
              qvec: str = "qvec", tvec: str = "tvec",
-             exclude_self: bool = True) -> DataFrame:
+             exclude_self: bool = True, fast: bool = False) -> DataFrame:
     """IVF-flat approximate top-k: (query_key, target_key, cosine,
     rank). Candidates = vectors whose cluster is among the query's
-    `probe` nearest centroids; rerank is the exact cosine fold."""
+    `probe` nearest centroids; rerank is the exact cosine fold.
+    ``fast`` selects ivf_fit's avg()-based centroid recompute (the
+    scale mode — see ivf_fit)."""
     c = ivf_fit(targets, k_clusters, iters=iters,
-                target_key=target_key, tvec=tvec)
+                target_key=target_key, tvec=tvec, fast=fast)
     # materialize the <= k_clusters centroid rows once: c is referenced
     # twice below and its plan is the whole multi-round Lloyd chain —
     # without this every reference re-runs the k-means end to end

@@ -373,10 +373,17 @@ sq AS (
          unnest([{', '.join(exprs)}]) AS bucket
   FROM embeddings
 ),
+tcap AS (
+  -- mirror of ann_topk's max_bucket: band buckets whose TARGET
+  -- population exceeds the cap contribute no candidates
+  SELECT bucket FROM sq GROUP BY bucket
+  HAVING COUNT(*) <= {Q.LSH_MAX_BUCKET}
+),
 lcand AS (
   SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS t_id
   FROM (SELECT * FROM sq WHERE vec_id % {Q.QUERY_MOD} = 0) q
-  JOIN sq t USING (bucket)
+  JOIN (SELECT * FROM sq WHERE bucket IN (SELECT bucket FROM tcap)) t
+  USING (bucket)
   WHERE q.vec_id != t.vec_id
 ),
 lsh_topk AS (

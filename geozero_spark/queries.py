@@ -37,6 +37,7 @@ ANN_K = 5
 EMB_DIM = 64
 LSH_BITS = 48   # 16 bands x 3 bits: measured recall@5 ~0.92 on the
 LSH_BANDS = 16  # synthetic embeddings (see tests/test_similarity.py)
+LSH_MAX_BUCKET = 100000  # degenerate-bucket cap, mirrored in the oracle
 QUERY_MOD = 29  # doc_id % QUERY_MOD == 0 -> kNN/ANN query row
 IVF_K = 8       # IVF coarse-quantizer centroids
 IVF_PROBE = 2   # clusters probed per query
@@ -751,7 +752,8 @@ def q_ann_lsh(spark, sf_dir):
                  F.col("embedding").alias("tvec"))
     return similarity.ann_topk(q, t, k=ANN_K, dim=EMB_DIM,
                                bits=LSH_BITS, bands=LSH_BANDS,
-                               portable=True)
+                               portable=True,
+                               max_bucket=LSH_MAX_BUCKET)
 
 
 def q_ann_recall(spark, sf_dir):

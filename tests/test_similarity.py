@@ -48,3 +48,86 @@ def test_ann_ivf_recall_floor(spark):
     assert mean >= 1.6 * frac, (
         f"mean IVF recall@{Q.ANN_K} {mean:.3f} is not meaningfully "
         f"above the {frac:.2f} scan-fraction baseline")
+
+
+def test_ann_degenerate_bucket_capped(spark):
+    """Adversarial skew: a mass of byte-identical embeddings signs
+    identically in every band, so without a cap the bucket join is
+    quadratic in the mass. With max_bucket the degenerate buckets are
+    dropped from the target side: the run completes with bounded
+    candidates and the identical-mass queries simply return no rows
+    (standard LSH degradation), while the cap leaves small buckets
+    untouched."""
+    dim, mass = 8, 500
+    e = spark.range(mass + 20).selectExpr(
+        "id AS vec_id",
+        # ids < mass: the identical vector; others: distinct hash-
+        # uniform vectors
+        f"IF(id < {mass}, array_repeat(CAST(1.0 AS FLOAT), {dim}), "
+        f"transform(sequence(0, {dim - 1}), j -> CAST("
+        f"pmod(xxhash64(id, j), 2000) - 1000 AS FLOAT) / 1000.0)) "
+        "AS embedding")
+    q = (e.where((F.col("vec_id") % 100 == 0))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qvec")))
+    t = e.select(F.col("vec_id").alias("t_id"),
+                 F.col("embedding").alias("tvec"))
+    capped = S.ann_topk(q, t, k=3, dim=dim, bits=16, bands=4,
+                        max_bucket=100).collect()
+    mass_q = {r.q_id for r in capped if r.q_id < mass}
+    assert mass_q == set(), (
+        f"identical-mass queries {mass_q} produced candidates through "
+        f"a bucket that should have been dropped")
+    # uncapped: the same mass queries DO match (1999-way identical
+    # candidates) — the quadratic shape the cap exists to avoid
+    uncapped = S.ann_topk(q, t, k=3, dim=dim, bits=16, bands=4,
+                          max_bucket=None).collect()
+    assert any(r.q_id < mass for r in uncapped)
+    # distinct vectors keep their candidates under the cap iff their
+    # buckets are small: every capped row scores a real cosine
+    assert all(r.cosine <= 1.0 + 1e-9 for r in capped)
+
+
+def test_ivf_fast_matches_portable_assignments(spark):
+    """fast=True (avg-based means) must assign every sf vector to the
+    same cluster as the portable sorted-fold mode — the float-sum
+    reorder only matters at exact cosine ties, which the synthetic
+    corpus does not produce."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t = e.select(F.col("vec_id").alias("t_id"),
+                 F.col("embedding").alias("tvec"))
+    c_p = S.ivf_fit(t, Q.IVF_K, iters=Q.IVF_ITERS, fast=False)
+    c_f = S.ivf_fit(t, Q.IVF_K, iters=Q.IVF_ITERS, fast=True)
+    # centroids agree to float-reassociation tolerance
+    p = {r.cid: r.cvec for r in c_p.collect()}
+    f = {r.cid: r.cvec for r in c_f.collect()}
+    assert p.keys() == f.keys()
+    for cid in p:
+        assert max(abs(a - b) for a, b in zip(p[cid], f[cid])) < 1e-9
+    a_p = S._assign(t, spark.createDataFrame(
+        [(k, v) for k, v in sorted(p.items())],
+        "cid long, cvec array<double>"), "t_id", "tvec")
+    a_f = S._assign(t, spark.createDataFrame(
+        [(k, v) for k, v in sorted(f.items())],
+        "cid long, cvec array<double>"), "t_id", "tvec")
+    m_p = {r.t_id: r.cid for r in a_p.collect()}
+    m_f = {r.t_id: r.cid for r in a_f.collect()}
+    assert m_p == m_f
+
+
+def test_ivf_fast_plan_has_no_collect_list(spark):
+    """The scale mode's per-round mean aggregation must be a plain
+    partial-aggregating avg(): no collect_list (the per-cluster memory
+    bomb) anywhere in its optimized plan. The portable mode keeps it —
+    that IS the oracle's sorted fold."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t = e.select(F.col("vec_id").alias("t_id"),
+                 F.col("embedding").alias("tvec"))
+    c = S.ivf_fit(t, Q.IVF_K, iters=0, fast=True)
+    a = S._assign(t, c, "t_id", "tvec")
+    fast_plan = S._centroid_means(a, t, "t_id", "tvec", True) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in fast_plan
+    slow_plan = S._centroid_means(a, t, "t_id", "tvec", False) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in slow_plan
