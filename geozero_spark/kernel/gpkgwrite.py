@@ -69,13 +69,21 @@ def _sql_type(v) -> str:
 
 
 def encode(features, table: str = "features", geom_col: str = "geom",
-           srid: int = 4326, page_size: int = 4096) -> bytes:
+           srid: int = 4326, page_size: int = 4096,
+           srs_name: str | None = None,
+           srs_def: str | None = None) -> bytes:
     """Encode [(Geom | None, props dict)] as a GeoPackage file.
 
     Column schema is inferred from the first non-None value per
     property name (mixed types coerce through SQLite's dynamic typing
     anyway); fids enumerate from 1 in input order. The declared
-    geometry type is the single kind when uniform, else GEOMETRY."""
+    geometry type is the single kind when uniform, else GEOMETRY.
+
+    The gpkg_spatial_ref_sys row for ``srid`` carries the WGS-84
+    name/definition ONLY for srid 4326; any other srid takes the
+    caller's ``srs_name``/``srs_def`` or falls back to the spec's
+    'undefined' escape hatch — never a factually wrong CRS definition
+    a spatial consumer would trust."""
     features = list(features)
     cols: list = []
     seen: dict = {}
@@ -112,22 +120,20 @@ def encode(features, table: str = "features", geom_col: str = "geom",
         feat_rows.append((i + 1, blob)
                          + tuple((props or {}).get(n) for n, _ in cols))
 
+    srs_rows = [
+        ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
+        ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
+    ]
+    if srid not in (-1, 0):
+        if srid == 4326:
+            name = srs_name or "WGS 84"
+            definition = srs_def or _WGS84_DEF
+        else:
+            name = srs_name or f"SRID {srid}"
+            definition = srs_def or "undefined"
+        srs_rows.append((name, srid, "EPSG", srid, definition, None))
     tables = [
-        (
-            "gpkg_spatial_ref_sys", _SRS_SQL,
-            [
-                ("Undefined cartesian SRS", -1, "NONE", -1,
-                 "undefined", None),
-                ("Undefined geographic SRS", 0, "NONE", 0,
-                 "undefined", None),
-                ("WGS 84", srid, "EPSG", srid, _WGS84_DEF, None),
-            ] if srid not in (-1, 0) else [
-                ("Undefined cartesian SRS", -1, "NONE", -1,
-                 "undefined", None),
-                ("Undefined geographic SRS", 0, "NONE", 0,
-                 "undefined", None),
-            ],
-        ),
+        ("gpkg_spatial_ref_sys", _SRS_SQL, srs_rows),
         (
             "gpkg_contents", _CONTENTS_SQL,
             [(table, "features", table, "",

@@ -207,10 +207,20 @@ class _Db:
 
     def finish(self, master_cells, application_id: int = 0,
                user_version: int = 0) -> bytes:
+        # capacity check BEFORE building: _leaf_page packs the type
+        # byte at offset 100 unconditionally, so inspecting the built
+        # page can never detect overflow — overfull master cells would
+        # silently wrap the content offset and corrupt the file
+        # (page 1 = 100 header + 8 page-header bytes; each cell costs
+        # len + 2 pointer bytes)
+        need = sum(len(c) + 2 for _, c in master_cells)
+        if need > self.usable - 108:
+            raise SqliteError(
+                f"sqlite_master must fit page 1: {need} cell bytes > "
+                f"{self.usable - 108} available (raise page_size or "
+                f"reduce tables/DDL length)")
         page1 = bytearray(self._leaf_page(
             [c for _, c in master_cells], first=True))
-        if len(master_cells) and page1[100] != 13:
-            raise SqliteError("sqlite_master must fit page 1")
         n_pages = len(self.pages)
         hdr = bytearray(100)
         hdr[0:16] = MAGIC

@@ -204,7 +204,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 48,
 def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
-                        max_bucket: int = 100000) -> DataFrame:
+                        max_bucket: int | None = None) -> DataFrame:
     """Exact character-n-gram Jaccard with provably LOSSLESS blocking.
 
     J(A,B) >= t implies |A inter B| <= min(|A|,|B|) and
@@ -218,11 +218,15 @@ def ngram_jaccard_pairs(df: DataFrame, key: str = "doc_id",
     operator is exact, with blocking only bounding the join.
 
     The within-bucket join is still all-pairs, so one degenerate bucket
-    (billions of same-glen docs) would go quadratic: ``max_bucket``
-    drops rows in oversized glen buckets before the join (the same
-    skew bound minhash_lsh_pairs applies to its LSH buckets). Within a
-    kept bucket the pair count is <= max_bucket^2 — this operator is a
-    VERIFY stage; use minhash_lsh_pairs to bound candidates globally.
+    (billions of same-glen docs) would go quadratic: the OPT-IN
+    ``max_bucket`` drops rows in oversized glen buckets before the join
+    (the same skew bound minhash_lsh_pairs applies to its LSH buckets).
+    The default is None because a cap breaks the exactness contract
+    SILENTLY — dropped docs also lose cross-bucket pairs with adjacent-
+    bucket survivors; with a cap set the operator is exact only over
+    the rows the cap retained. Within a kept bucket the pair count is
+    <= max_bucket^2 — this operator is a VERIFY stage; use
+    minhash_lsh_pairs to bound candidates globally.
     """
     if not (0.0 < threshold < 1.0):
         raise ValueError("threshold must be in (0, 1)")

@@ -221,3 +221,55 @@ def test_spark_write_gpkg_roundtrip(spark, tmp_path):
         (f"f{i}", float(i), i + 0.5) for i in range(25))
     con = sqlite3.connect(p)
     assert con.execute("pragma integrity_check").fetchone() == ("ok",)
+
+
+def test_sqlitewrite_master_page_capacity_guard():
+    """Overfull sqlite_master must raise loudly, not emit a corrupt
+    file: the old guard inspected a byte _leaf_page always writes, so
+    it could never fire (advisor finding). Many tables with long DDL
+    at the minimum page size exceed page 1's ~404 usable bytes."""
+    tables = [(f"table_{i:02d}",
+               f"CREATE TABLE table_{i:02d} (" +
+               ", ".join(f"col_with_a_long_name_{j} TEXT"
+                         for j in range(8)) + ")",
+               [])
+              for i in range(10)]
+    with pytest.raises(SqliteError, match="sqlite_master"):
+        sqlitewrite.build_db(tables, page_size=512)
+    # the same schema fits a 4096 page: still a valid file
+    buf = sqlitewrite.build_db(tables, page_size=4096)
+    assert len(list(SqliteFile(buf).rows("table_00"))) == 0
+
+
+def test_gpkg_srid_definition_honest(tmp_path):
+    """srid != 4326 must NOT claim the WGS-84 definition (advisor
+    finding): caller-supplied name/def or the spec's 'undefined'."""
+    from geozero_spark.kernel.model import Geom, POINT
+
+    feats = [(Geom(POINT, (1.0, 2.0)), {"n": "a"})]
+    out = gpkgwrite.encode(feats, table="m", srid=3857)
+    con = _sqlite3_open(out, tmp_path, "m.gpkg")
+    name, definition = con.execute(
+        "select srs_name, definition from gpkg_spatial_ref_sys "
+        "where srs_id = 3857").fetchone()
+    assert name == "SRID 3857"
+    assert definition == "undefined"
+    assert "WGS" not in definition
+
+    out2 = gpkgwrite.encode(feats, table="m", srid=3857,
+                            srs_name="Web Mercator",
+                            srs_def='PROJCS["WGS 84 / Pseudo-Mercator"]')
+    con2 = _sqlite3_open(out2, tmp_path, "m2.gpkg")
+    name2, def2 = con2.execute(
+        "select srs_name, definition from gpkg_spatial_ref_sys "
+        "where srs_id = 3857").fetchone()
+    assert name2 == "Web Mercator"
+    assert def2.startswith("PROJCS")
+
+    # 4326 keeps the real WGS-84 definition
+    out3 = gpkgwrite.encode(feats, table="m", srid=4326)
+    con3 = _sqlite3_open(out3, tmp_path, "m3.gpkg")
+    name3, def3 = con3.execute(
+        "select srs_name, definition from gpkg_spatial_ref_sys "
+        "where srs_id = 4326").fetchone()
+    assert name3 == "WGS 84" and def3.startswith("GEOGCS")
