@@ -204,7 +204,9 @@ def st_npoints():
     return _encode_udf(kbounds.npoints, IntegerType())
 
 
-def mvt_tile_stats():
+def mvt_tile_stats(int_prop: str | None = None,
+                   float_prop: str | None = None,
+                   str_prop: str | None = None):
     """Decode-own-output content check for the distributed MVT sink.
 
     Decodes each emitted tile blob with the kernel decoder
@@ -216,15 +218,30 @@ def mvt_tile_stats():
     oracle reconstructs the same numbers from the tile-transform
     arithmetic (mvt_writer.rs:157-173), so the blob bytes themselves are
     content-verified end to end, not just counted.
+
+    Optional TYPED-property checks (mvt_writer.rs:380-401 value
+    mapping through the layer keys/values tables): ``int_prop`` adds
+    ``prop_int_sum`` (sum of that int tag across decoded features),
+    ``float_prop`` adds ``prop_float_sum`` (sum of the double tag),
+    ``str_prop`` adds ``prop_chars`` (sum of the string tag's length)
+    — all reconstructible in SQL when the property derives from the
+    generator arithmetic.
     """
     from ..kernel import mvt as kmvt
 
-    stats_type = StructType([
+    fields = [
         StructField("n_features", IntegerType()),
         StructField("vtx_sum", LongType()),
         StructField("sx_sum", LongType()),
         StructField("sy_sum", LongType()),
-    ])
+    ]
+    if int_prop is not None:
+        fields.append(StructField("prop_int_sum", LongType()))
+    if float_prop is not None:
+        fields.append(StructField("prop_float_sum", DoubleType()))
+    if str_prop is not None:
+        fields.append(StructField("prop_chars", LongType()))
+    stats_type = StructType(fields)
 
     def _feature_coords(feat):
         g = feat.geometry
@@ -241,6 +258,7 @@ def mvt_tile_stats():
     @pandas_udf(stats_type)
     def f(blobs: pd.Series) -> pd.DataFrame:
         nf, vtx, sx, sy = [], [], [], []
+        pis, pfs, pcs = [], [], []
         for blob in blobs:
             tile = kmvt.decode_tile(bytes(blob))
             feats = [ft for layer in tile.layers for ft in layer.features]
@@ -249,8 +267,27 @@ def mvt_tile_stats():
             vtx.append(len(coords))
             sx.append(sum(c[0] for c in coords))
             sy.append(sum(c[1] for c in coords))
-        return pd.DataFrame({"n_features": nf, "vtx_sum": vtx,
-                             "sx_sum": sx, "sy_sum": sy})
+            if int_prop is not None:
+                pis.append(sum(int(ft.properties[int_prop])
+                               for ft in feats
+                               if int_prop in ft.properties))
+            if float_prop is not None:
+                pfs.append(sum(float(ft.properties[float_prop])
+                               for ft in feats
+                               if float_prop in ft.properties))
+            if str_prop is not None:
+                pcs.append(sum(len(str(ft.properties[str_prop]))
+                               for ft in feats
+                               if str_prop in ft.properties))
+        data = {"n_features": nf, "vtx_sum": vtx,
+                "sx_sum": sx, "sy_sum": sy}
+        if int_prop is not None:
+            data["prop_int_sum"] = pis
+        if float_prop is not None:
+            data["prop_float_sum"] = pfs
+        if str_prop is not None:
+            data["prop_chars"] = pcs
+        return pd.DataFrame(data)
 
     return f
 

@@ -334,8 +334,10 @@ def _zz_i64(v: np.ndarray) -> np.ndarray:
 
 def encode_tile_fast(layer_name: str, extent: int, items: list,
                      left: float, bottom: float, right: float,
-                     top: float):
+                     top: float, props_list: list | None = None):
     """items: [(feature_key, rec_dict_or_None)] in final feature order.
+    ``props_list``: optional parallel list of per-feature property
+    dicts (typed MVT values); None keeps the default {"id": str(key)}.
     Returns (tile_bytes, n_features, n_skipped) or None if any feature
     is not fast-eligible (caller falls back to the kernel encoder for
     the whole tile). Bytes identical to the kernel path.
@@ -372,20 +374,24 @@ def encode_tile_fast(layer_name: str, extent: int, items: list,
     return _encode_gathered(
         layer_name, extent, n_items, kinds, lens, nrings, coord_arrays,
         lambda i: items[i][1], lambda i: items[i][0],
-        left, bottom, right, top)
+        left, bottom, right, top,
+        props_for=(None if props_list is None
+                   else lambda i: props_list[i]))
 
 
 def encode_tile_cols(layer_name: str, extent: int, keys: list,
                      kind_l: list, has_z_l: list, has_m_l: list,
                      coords_l: list, offs1_l: list, offs2_l: list,
                      wkb_l: list, left: float, bottom: float,
-                     right: float, top: float):
+                     right: float, top: float,
+                     props_list: list | None = None):
     """Column-wise twin of encode_tile_fast: parallel per-feature
     sequences instead of struct dicts, so the Arrow struct -> python
     dict materialization (~several us/row) never happens. An absent
     feature is kind_l[i] is None. Returns the same
     (bytes, n_features, n_skipped), or None for whole-tile kernel
-    fallback. Byte-identical to the dict path on equivalent input."""
+    fallback. Byte-identical to the dict path on equivalent input.
+    ``props_list``: optional parallel per-feature property dicts."""
     n_items = len(keys)
     kinds = np.full(n_items, -1, dtype=np.int64)
     lens = np.zeros(n_items, dtype=np.int64)
@@ -418,12 +424,14 @@ def encode_tile_cols(layer_name: str, extent: int, keys: list,
 
     return _encode_gathered(
         layer_name, extent, n_items, kinds, lens, nrings, coord_arrays,
-        rec_for, lambda i: keys[i], left, bottom, right, top)
+        rec_for, lambda i: keys[i], left, bottom, right, top,
+        props_for=(None if props_list is None
+                   else lambda i: props_list[i]))
 
 
 def _encode_gathered(layer_name, extent, n_items, kinds, lens, nrings,
                      coord_arrays, rec_for, key_for,
-                     left, bottom, right, top):
+                     left, bottom, right, top, props_for=None):
     if coord_arrays:
         arr = np.concatenate(coord_arrays).reshape(-1, 2)
         tx, ty = ktiles.mvt_transform_np(arr[:, 0], arr[:, 1], extent,
@@ -447,7 +455,8 @@ def _encode_gathered(layer_name, extent, n_items, kinds, lens, nrings,
             try:
                 feats.append(_feature_cmds_py(
                     rec, idx, key_for(idx), xl, yl, int(base[idx]),
-                    int(lens[idx])))
+                    int(lens[idx]),
+                    props=props_for(idx) if props_for else None))
             except kmvt.MvtError:
                 skipped += 1
         all_cmds = np.array([c for f in feats for c in f[3]],
@@ -507,7 +516,8 @@ def _encode_gathered(layer_name, extent, n_items, kinds, lens, nrings,
         try:
             py_feats[int(idx)] = _feature_cmds_py(
                 rec_for(int(idx)), int(idx), key_for(int(idx)),
-                xs, ys, int(base[idx]), int(lens[idx]))
+                xs, ys, int(base[idx]), int(lens[idx]),
+                props=props_for(int(idx)) if props_for else None)
         except kmvt.MvtError:
             skipped += 1
             is_py[idx] = False
@@ -575,29 +585,39 @@ def _encode_gathered(layer_name, extent, n_items, kinds, lens, nrings,
         o = int(offs_full[idx])
         cmds_all[o:o + len(f[3])] = f[3]
 
-    # every kept feature (python-built ones included) carries exactly
-    # {"id": str(key)} and fid = item index, so the columnar framer
-    # applies; gtype follows the kind class (same mapping as
-    # _feature_cmds_py)
+    # gtype follows the kind class (same mapping as _feature_cmds_py)
     kk = kinds[kept_idx]
     gtypes = np.where(
         np.isin(kk, (POINT, MULTIPOINT)), kmvt.GEOM_POINT,
         np.where(np.isin(kk, (LINESTRING, MULTILINESTRING)),
                  kmvt.GEOM_LINESTRING, kmvt.GEOM_POLYGON))
-    key_strs = [str(key_for(int(i))) for i in kept_idx]
-    layer = _frame_layer_cols(layer_name, extent,
-                              kept_idx.astype(np.int64), key_strs,
-                              gtypes, ncmds[kept_idx], cmds_all)
+    if props_for is None:
+        # every kept feature (python-built ones included) carries
+        # exactly {"id": str(key)} and fid = item index, so the
+        # single-key columnar framer applies
+        key_strs = [str(key_for(int(i))) for i in kept_idx]
+        layer = _frame_layer_cols(layer_name, extent,
+                                  kept_idx.astype(np.int64), key_strs,
+                                  gtypes, ncmds[kept_idx], cmds_all)
+    else:
+        # typed per-feature props: the command stream stays columnar;
+        # framing goes through the general key/value-dedup framer
+        # (byte-identical to the kernel encoder's tag assembly,
+        # mvt_writer.rs:357-401 semantics)
+        metas = [(int(i), props_for(int(i)), int(g), int(ncmds[i]))
+                 for i, g in zip(kept_idx, gtypes)]
+        layer = _frame_layer(layer_name, extent, metas, cmds_all)
     out = bytearray()
     kmvt._write_bytes(out, 3, layer)
     return bytes(out), len(kept_idx), skipped
 
 
-def _feature_cmds_py(rec, fid, key, xs, ys, base, n):
+def _feature_cmds_py(rec, fid, key, xs, ys, base, n, props=None):
     kind = int(rec["kind"])
     if n == 0:
         raise kmvt.MvtError("empty geometry")
-    props = {"id": str(key)}
+    if props is None:
+        props = {"id": str(key)}
     if kind in (POINT, MULTIPOINT):
         cmds: list[int] = []
         _run_py(cmds, 1, xs, ys, base, base + n, 0, 0)

@@ -86,14 +86,43 @@ def explode_tiles_eq(df: DataFrame, z: int, bbox_col: str = "geom.bbox"
 def mvt_tiles(df: DataFrame, z: int, key: str = "url",
               geom: str = "geom", layer: str = "layer",
               extent: int = 4096,
-              max_features: Optional[int] = None) -> DataFrame:
+              max_features: Optional[int] = None,
+              props: Optional[list] = None) -> DataFrame:
     """Materialize one MVT blob per (z, x, y).
 
     df must carry ``key`` (stable feature id / sort key) and a geometry
     struct column ``geom`` in lon/lat degrees. Invalid-in-tile features
     (MVT validity, mvt_writer.rs:254-307) are counted in ``n_skipped``.
-    """
-    cover = explode_tiles_eq(df.select(key, geom), z,
+
+    ``props``: optional list of df column names emitted as TYPED
+    feature properties next to the default {"id": str(key)} tag —
+    integral columns become MVT int values, floating-point columns
+    double values, booleans bool values, everything else strings
+    (mvt_writer.rs:380-401 value mapping; keys/values are deduped into
+    the layer tables per :357-374). NULLs (and NaN stand-ins Arrow
+    uses for nulls in numeric columns) drop that tag on that feature.
+    The prop columns ride the (z,x,y) exchange as flat columns like
+    the geometry lanes — no struct/dict materialization per row."""
+    from pyspark.sql import types as T
+
+    props = list(props) if props else []
+    prop_kinds: list = []
+    if props:
+        by_name = {f.name: f.dataType for f in df.schema.fields}
+        for p in props:
+            dt = by_name[p]  # unknown column -> loud KeyError
+            if isinstance(dt, T.BooleanType):
+                k = "bool"
+            elif isinstance(dt, (T.LongType, T.IntegerType,
+                                 T.ShortType, T.ByteType)):
+                k = "int"
+            elif isinstance(dt, (T.DoubleType, T.FloatType)):
+                k = "float"
+            else:
+                k = "str"
+            prop_kinds.append(k)
+
+    cover = explode_tiles_eq(df.select(key, geom, *props), z,
                              bbox_col=f"{geom}.bbox")
     # the bbox did its job in the cover explode; shuffle only the
     # fields the encoder reads (bbox/srid/t-lanes are ~35% of the
@@ -110,7 +139,8 @@ def mvt_tiles(df: DataFrame, z: int, key: str = "url",
         F.col(f"{geom}.coords").alias("_coords"),
         F.col(f"{geom}.offs1").alias("_offs1"),
         F.col(f"{geom}.offs2").alias("_offs2"),
-        F.col(f"{geom}.wkb").alias("_wkb"))
+        F.col(f"{geom}.wkb").alias("_wkb"),
+        *[F.col(p).alias(f"_p{i}") for i, p in enumerate(props)])
     if max_features is not None:
         from pyspark.sql import Window
         w = Window.partitionBy("z", "x", "y").orderBy(key)
@@ -128,7 +158,35 @@ def mvt_tiles(df: DataFrame, z: int, key: str = "url",
                      for v in cols_l[0]]
         return keys_l, cols_l
 
-    def _encode_kernel(keys_l, cols_l, left, bottom, right, top):
+    def _props_list(pdf, keys_l):
+        """Per-feature typed property dicts in sorted-row order, or
+        None for the default {"id": str(key)}-only tagging. Coercion
+        follows the DRIVER-captured Spark column type, not the pandas
+        dtype — Arrow turns a nullable int column into float64+NaN,
+        which must come back as MVT int values, not doubles."""
+        if not props:
+            return None
+        cols_v = [pdf[f"_p{i}"].tolist() for i in range(len(props))]
+        out = []
+        for j, k in enumerate(keys_l):
+            d = {"id": str(k)}
+            for nm, kd, col in zip(props, prop_kinds, cols_v):
+                v = col[j]
+                if v is None or (isinstance(v, float) and v != v):
+                    continue
+                if kd == "int":
+                    d[nm] = int(v)
+                elif kd == "float":
+                    d[nm] = float(v)
+                elif kd == "bool":
+                    d[nm] = bool(v)
+                else:
+                    d[nm] = str(v)
+            out.append(d)
+        return out
+
+    def _encode_kernel(keys_l, cols_l, left, bottom, right, top,
+                       props_l=None):
         feats = []
         skipped = 0
         for i, k in enumerate(keys_l):
@@ -144,7 +202,10 @@ def mvt_tiles(df: DataFrame, z: int, key: str = "url",
                 tg = ktiles.transform_geom_to_tile(
                     g, extent, left, bottom, right, top)
                 feats.append(kmvt.feature_from_geom(
-                    tg, properties={"id": str(k)}, fid=i))
+                    tg,
+                    properties=(props_l[i] if props_l is not None
+                                else {"id": str(k)}),
+                    fid=i))
             except (ktiles.MvtValidityError, kmvt.MvtError):
                 skipped += 1
         blob = kmvt.encode_tile(kmvt.MvtTile(
@@ -160,11 +221,13 @@ def mvt_tiles(df: DataFrame, z: int, key: str = "url",
         left, bottom, right, top = ktiles.tile_bounds_eq(zz, xx, yy)
         pdf = pdf.sort_values(key, kind="mergesort")
         keys_l, cols_l = _col_lists(pdf)
+        props_l = _props_list(pdf, keys_l)
         res = mvt_fast.encode_tile_cols(
-            layer, extent, keys_l, *cols_l, left, bottom, right, top)
+            layer, extent, keys_l, *cols_l, left, bottom, right, top,
+            props_list=props_l)
         if res is None:
             res = _encode_kernel(keys_l, cols_l, left, bottom, right,
-                                 top)
+                                 top, props_l=props_l)
         blob, n_feats, skipped = res
         return pd.DataFrame([{"z": zz, "x": xx, "y": yy,
                               "n_features": n_feats,

@@ -754,13 +754,29 @@ SELECT url, x, y FROM (
   FROM geo
 ) g, unnest(range(g.x0, g.x1 + 1)) t(x), unnest(range(g.y0, g.y1 + 1)) s(y)
 """
-    return _W + f""", verts AS ({verts}), cover AS ({cover})
+    # typed-property mirror (queries.q_mvt_content props): int text
+    # length, double half-length, string lang — counted once per
+    # feature via the vi = 1 filter
+    # pages.text is SYNTHESIZED (P.TEXT over documents), not the raw
+    # documents.text — the length must be computed over the same
+    # dialect-neutral expression the Spark pages view evaluates
+    fprops = f"""
+SELECT {P.URL} AS url, length({P.TEXT}) AS pid, lang AS plang
+FROM documents
+"""
+    return _W + f""", verts AS ({verts}), cover AS ({cover}),
+fprops AS ({fprops})
 SELECT {z} AS z, x, y,
   CAST(COUNT(*) FILTER (WHERE vi = 1) AS INTEGER) AS n_features,
   CAST(COUNT(*) AS BIGINT) AS vtx_sum,
   CAST(SUM({tx}) AS BIGINT) AS sx_sum,
-  CAST(SUM({ry}) AS BIGINT) AS sy_sum
-FROM cover JOIN verts USING (url)
+  CAST(SUM({ry}) AS BIGINT) AS sy_sum,
+  CAST(SUM(pid) FILTER (WHERE vi = 1) AS BIGINT) AS prop_int_sum,
+  CAST(SUM(CAST(pid AS DOUBLE) * 0.5e0) FILTER (WHERE vi = 1)
+       AS DOUBLE) AS prop_float_sum,
+  CAST(SUM(length(plang)) FILTER (WHERE vi = 1) AS BIGINT)
+    AS prop_chars
+FROM cover JOIN verts USING (url) JOIN fprops USING (url)
 GROUP BY x, y
 """
 

@@ -425,19 +425,30 @@ def q_mvt_feature_counts(spark, sf_dir):
 def q_mvt_content(spark, sf_dir):
     """Content oracle for the binary MVT sink: decode every emitted
     blob (kernel decoder) and emit per-tile invariants — feature count,
-    vertex count, and the sums of decoded tile-space coordinates — all
-    reconstructible in SQL from the tile-transform arithmetic
-    (mvt_writer.rs:157-173). Green here means the distributed encoder's
-    BYTES are right, not merely its row count."""
-    g = geos_df(spark, sf_dir).select("url", "geom")
-    t = tiling.mvt_tiles(g, COVER_Z, key="url")
-    s = udfs.mvt_tile_stats()
+    vertex count, the sums of decoded tile-space coordinates, AND
+    aggregates of three TYPED feature properties (int text length,
+    double half-length, string lang — mvt_writer.rs:380-401 value
+    mapping through the deduped keys/values tables) — all
+    reconstructible in SQL from the generator arithmetic. Green here
+    means the distributed encoder's BYTES are right (tags included),
+    not merely its row count."""
+    g = (geos_df(spark, sf_dir)
+         .withColumn("tlen", F.length("text").cast("long"))
+         .withColumn("score", (F.length("text") * 0.5).cast("double"))
+         .select("url", "geom", "tlen", "score", "lang"))
+    t = tiling.mvt_tiles(g, COVER_Z, key="url",
+                         props=["tlen", "score", "lang"])
+    s = udfs.mvt_tile_stats(int_prop="tlen", float_prop="score",
+                            str_prop="lang")
     return (t.withColumn("s", s("mvt"))
             .select("z", "x", "y",
                     F.col("s.n_features").alias("n_features"),
                     F.col("s.vtx_sum").alias("vtx_sum"),
                     F.col("s.sx_sum").alias("sx_sum"),
-                    F.col("s.sy_sum").alias("sy_sum")))
+                    F.col("s.sy_sum").alias("sy_sum"),
+                    F.col("s.prop_int_sum").alias("prop_int_sum"),
+                    F.col("s.prop_float_sum").alias("prop_float_sum"),
+                    F.col("s.prop_chars").alias("prop_chars")))
 
 
 SHP_FIXTURE_CAP = 10_000

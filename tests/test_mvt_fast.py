@@ -287,3 +287,77 @@ def test_cols_branch_fallback_agreement():
     assert mvt_fast.encode_tile_cols(
         "layer", EXTENT, keys, c["kind"], c["has_z"], c["has_m"],
         c["coords"], c["offs1"], c["offs2"], c["wkb"], *BOUNDS) is None
+
+
+def _kernel_tile_props(geoms_wkt, props_list):
+    feats = []
+    for i, w in enumerate(geoms_wkt):
+        g = wkt.decode(w)
+        tg = ktiles.transform_geom_to_tile(g, EXTENT, *BOUNDS)
+        feats.append(kmvt.feature_from_geom(
+            tg, properties=props_list[i], fid=i))
+    layer = kmvt._encode_layer(
+        kmvt.MvtLayer(name="layer", extent=EXTENT, features=feats))
+    out = bytearray()
+    kmvt._write_bytes(out, 3, layer)
+    return bytes(out)
+
+
+def _props_for(i):
+    """Typed property mix: int / double / string / bool values, a
+    shared string (exercises value dedup), and a key present only on
+    some features (exercises per-feature tag lists + key table)."""
+    d = {"id": str(i), "n": i * 7, "score": i * 0.5,
+         "lang": "en" if i % 3 else "de", "flag": i % 2 == 0}
+    if i % 4 == 0:
+        d["extra"] = f"x{i}"
+    return d
+
+
+@pytest.mark.parametrize("n_feats", [5, 120])
+def test_typed_props_three_branches_byte_identical(n_feats):
+    """Typed feature properties through the sink keep all THREE
+    branches byte-identical to the kernel encoder (mvt_writer.rs:
+    380-401 value mapping, :357-374 tag/key/value dedup): the
+    per-feature python branch (< _VECTOR_MIN), the columnar command
+    branch (>= _VECTOR_MIN, frames via the general key/value-dedup
+    framer), and encode_tile_cols' flat-column twin."""
+    geoms = [GEOMS[i % len(GEOMS)] for i in range(n_feats)]
+    props = [_props_for(i) for i in range(n_feats)]
+
+    want = _kernel_tile_props(geoms, props)
+
+    items = [(str(i), sr.to_struct(wkt.decode(w)))
+             for i, w in enumerate(geoms)]
+    r = mvt_fast.encode_tile_fast("layer", EXTENT, items, *BOUNDS,
+                                  props_list=props)
+    assert r is not None
+    blob, n, skipped = r
+    assert (n, skipped) == (n_feats, 0)
+    assert blob == want
+
+    keys, cols = _cols_from_items(items)
+    r2 = mvt_fast.encode_tile_cols(
+        "layer", EXTENT, keys, cols["kind"], cols["has_z"],
+        cols["has_m"], cols["coords"], cols["offs1"], cols["offs2"],
+        cols["wkb"], *BOUNDS, props_list=props)
+    assert r2 is not None
+    assert r2[0] == want
+
+
+def test_typed_props_default_unchanged():
+    """props_list=None keeps the original {"id": str(key)} bytes —
+    the pinned pre-props behavior (and the single-key columnar
+    framer) is untouched."""
+    geoms = [GEOMS[i % len(GEOMS)] for i in range(120)]
+    id_props = [{"id": str(i)} for i in range(120)]
+    items = [(str(i), sr.to_struct(wkt.decode(w)))
+             for i, w in enumerate(geoms)]
+    r_default = mvt_fast.encode_tile_fast("layer", EXTENT, items,
+                                          *BOUNDS)
+    r_explicit = mvt_fast.encode_tile_fast("layer", EXTENT, items,
+                                           *BOUNDS,
+                                           props_list=id_props)
+    assert r_default is not None and r_explicit is not None
+    assert r_default[0] == r_explicit[0] == _kernel_tile_props(
+        geoms, id_props)
