@@ -183,27 +183,42 @@ class _Db:
 
     def add_table(self, rows_with_ids) -> int:
         """Write a table B-tree; returns its root page number.
-        rows_with_ids: [(rowid, record payload bytes)] in ROWID order."""
+        rows_with_ids: [(rowid, record payload bytes)] in ROWID order.
+
+        Interior levels are built bottom-up until one root remains —
+        the tree depth is unbounded (a single-interior-level writer
+        caps out around 21k point features at page_size 4096; the
+        partition-parallel gpkg sink routinely exceeds that per
+        file)."""
         cells = [(rid, self._make_cell(rid, payload))
                  for rid, payload in rows_with_ids]
         leaves = self._pack_leaves(cells)
-        nums = []
-        for leaf_cells, _mx in leaves:
+        children = []  # (page number, max rowid in subtree)
+        for leaf_cells, mx in leaves:
             n = self._alloc()
             self.pages[n - 1] = self._leaf_page(
                 [c for _, c in leaf_cells])
-            nums.append(n)
-        if len(nums) == 1:
-            return nums[0]
-        entries = [(n, mx) for n, (_, mx) in zip(nums[:-1], leaves[:-1])]
-        root = self._alloc()
-        page = self._interior_page(entries, nums[-1])
-        ncells_possible = (self.usable - 12) // 15
-        if len(entries) > ncells_possible:
-            raise SqliteError(
-                f"{len(nums)} leaves exceed one interior level")
-        self.pages[root - 1] = page
-        return root
+            children.append((n, mx))
+        # conservative interior fan-out: each cell is 4-byte child +
+        # varint key (<= 9) + 2-byte pointer slot = 15 bytes against
+        # usable - 12 header bytes; one extra child rides the
+        # right-most pointer
+        fanout = (self.usable - 12) // 15 + 1
+        while len(children) > 1:
+            parents = []
+            for i in range(0, len(children), fanout):
+                grp = children[i:i + fanout]
+                if len(grp) == 1:
+                    # a lone trailing child needs no interior page
+                    parents.append(grp[0])
+                    continue
+                entries = grp[:-1]
+                right, right_mx = grp[-1]
+                n = self._alloc()
+                self.pages[n - 1] = self._interior_page(entries, right)
+                parents.append((n, right_mx))
+            children = parents
+        return children[0][0]
 
     def finish(self, master_cells, application_id: int = 0,
                user_version: int = 0) -> bytes:

@@ -567,7 +567,8 @@ def write_fgb_dir(df: DataFrame, path: str, geom_col: str = "geom",
 
 
 def write_gpkg(df: DataFrame, path: str, geom_col: str = "geom",
-               table: str = "features", srid: int = 4326) -> None:
+               table: str = "features", srid: int = 4326,
+               max_rows: int = 2_000_000) -> None:
     """Write a DataFrame with a geometry struct column as ONE
     GeoPackage file (kernel/gpkgwrite.py — full GPKG core profile:
     application_id, srs registry, contents, geometry_columns, features
@@ -575,7 +576,15 @@ def write_gpkg(df: DataFrame, path: str, geom_col: str = "geom",
     sequential container, so ONE executor task materializes it via
     mapInPandas over a coalesced partition (temp-write + rename); on a
     real cluster ``path`` must be shared storage. Output is valid per
-    sqlite3's integrity_check and readable by read_gpkg."""
+    sqlite3's integrity_check and readable by read_gpkg.
+
+    The single task holds the whole file's pages in memory, so this is
+    a FIXTURE / dimension-table sink with a LOUD bound: more than
+    ``max_rows`` rows raises ValueError inside the task (the same
+    fail-loud contract as pip_join's broadcast guard) instead of
+    silently OOMing the executor. The data-scale path is
+    ``write_gpkg_dir`` — one file per partition, bounded per-task
+    memory, read back by read_gpkg's directory scan."""
     import os
 
     prop_cols = [c for c in df.columns if c != geom_col]
@@ -587,6 +596,13 @@ def write_gpkg(df: DataFrame, path: str, geom_col: str = "geom",
         got = list(batches)
         pdf = (pd.concat(got, ignore_index=True) if got
                else pd.DataFrame(columns=[geom_col] + prop_cols))
+        if len(pdf) > max_rows:
+            raise ValueError(
+                f"write_gpkg: {len(pdf)} rows exceed the single-file "
+                f"bound max_rows={max_rows} (one task buffers the "
+                f"whole container) — use write_gpkg_dir for a "
+                f"partition-parallel directory sink, or raise "
+                f"max_rows knowingly")
         feats = _rows_to_features(pdf, geom_col, prop_cols)
         buf = gpkgwrite.encode(feats, table=table, geom_col=geom_col,
                                srid=srid)
@@ -597,6 +613,46 @@ def write_gpkg(df: DataFrame, path: str, geom_col: str = "geom",
         yield pd.DataFrame({"n": [len(feats)]})
 
     df.coalesce(1).mapInPandas(write_part, "n long").count()
+
+
+def write_gpkg_dir(df: DataFrame, path: str, geom_col: str = "geom",
+                   table: str = "features", srid: int = 4326) -> int:
+    """Partition-parallel GeoPackage sink: one .gpkg file PER PARTITION
+    into a directory (part-00000.gpkg, ...) — the parallel dual of
+    write_gpkg's single-container mode, mirroring write_fgb_dir, and
+    exactly what read_gpkg's directory scan consumes. Per-task memory
+    is bounded by the partition size (repartition the input to choose
+    file count/size). Empty partitions write nothing. Returns the
+    number of files written. On a real cluster ``path`` must be shared
+    storage."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    prop_cols = [c for c in df.columns if c != geom_col]
+
+    def write_part(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from geozero_spark.kernel import gpkgwrite
+
+        got = list(batches)
+        if not got:
+            yield pd.DataFrame({"n": pd.Series([], dtype="int64")})
+            return
+        pdf = pd.concat(got, ignore_index=True)
+        feats = _rows_to_features(pdf, geom_col, prop_cols)
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}.gpkg")
+        buf = gpkgwrite.encode(feats, table=table, geom_col=geom_col,
+                               srid=srid)
+        tmp = out + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, out)
+        yield pd.DataFrame({"n": [len(feats)]})
+
+    return df.mapInPandas(write_part, "n long").count()
 
 
 def read_gpkg(spark: SparkSession, path: str,
