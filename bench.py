@@ -132,12 +132,23 @@ def _emb_parquet(spark, clones: int) -> str:
     return path
 
 
-def dedup_workload(spark, clones: int, reps: int = 2):
+def dedup_workload(spark, clones: int, reps: int = 2,
+                   big_clones: int | None = None,
+                   emb_clones: int | None = None):
     """Training-data pipeline stages (all on their fast/scale paths)
     over the cloned corpus: returns (timings, n_docs, n_vecs).
     Each stage runs ``reps`` times, best-of reported — run-to-run
     wobble on this box is ~±20% and a scaling ratio of two single
-    samples inherits it twice."""
+    samples inherits it twice.
+
+    ``big_clones`` / ``emb_clones``: scaling measurements need every
+    stage's wall to amortize its fixed costs (CLAUDE.md round-3 rule),
+    but the stages differ by ~30x in per-doc cost — one corpus size
+    cannot put a pure-JVM aggregate (text_stats/exact_dedup: us/doc)
+    and the shingle/LSH pipelines (simhash/minhash: ms/doc) both in
+    the amortizing regime without hours of wall. The CHEAP stages
+    therefore take their own larger corpus (big_clones, default
+    clones) and ann_lsh its own embeddings scale (emb_clones)."""
     from pyspark.sql import functions as F
 
     from geozero_spark.operators import dedup, similarity, textstats
@@ -155,14 +166,17 @@ def dedup_workload(spark, clones: int, reps: int = 2):
     docs = spark.read.parquet(_docs_parquet(spark, clones)) \
         .select("doc_id", "text")
     n_docs = docs.count()
+    docs_big = (docs if not big_clones or big_clones == clones else
+                spark.read.parquet(_docs_parquet(spark, big_clones))
+                .select("doc_id", "text"))
     timed("text_stats", lambda: textstats.quality_score(
-        textstats.token_stats(docs)).select(
+        textstats.token_stats(docs_big)).select(
         F.sum("quality")).collect())
     # bit_xor consumes: a plain sum of 5M 48-bit hashes overflows int64
     timed("simhash", lambda: dedup.simhash(
         docs, fast=True).select(F.expr("bit_xor(simhash)")).collect())
     timed("exact_dedup", lambda: dedup.exact_dedup(
-        docs, fast=True).count())
+        docs_big, fast=True).count())
     timed("minhash_pairs", lambda: dedup.minhash_lsh_pairs(
         docs, num_perm=16, bands=4, fast=True).count())
 
@@ -178,7 +192,7 @@ def dedup_workload(spark, clones: int, reps: int = 2):
         docs.select("doc_id"), pairs).where("keep").count())
     pairs.unpersist()
 
-    emb = spark.read.parquet(_emb_parquet(spark, clones))
+    emb = spark.read.parquet(_emb_parquet(spark, emb_clones or clones))
     n_vecs = emb.count()
     q = (emb.where(F.col("vec_id") % 997 == 0)
          .select(F.col("vec_id").alias("q_id"),
@@ -420,9 +434,14 @@ def main():
         # one parallelism level of the dedup/ANN suite, process-isolated
         cpus = int(sys.argv[sys.argv.index("--scaling-dedup-level") + 1])
         clones = int(os.environ.get("SPARK_GRAFT_DEDUP_CLONES", "100"))
+        bigc = int(os.environ.get("SPARK_GRAFT_DEDUP_BIG_CLONES",
+                                  str(clones)))
+        embc = int(os.environ.get("SPARK_GRAFT_DEDUP_EMB_CLONES",
+                                  str(clones)))
         s = _session(cpus)
         _warm_session(s, cpus)
-        t, n_docs, n_vecs = dedup_workload(s, clones)
+        t, n_docs, n_vecs = dedup_workload(s, clones, big_clones=bigc,
+                                           emb_clones=embc)
         total = round(sum(t.values()), 2)
         print(json.dumps({
             "cpus": cpus, "total_s": total, "docs": n_docs,
@@ -442,6 +461,25 @@ def main():
         import shutil
         level_flag = ("--scaling-dedup-level" if dedup_mode
                       else "--scaling-level")
+        if dedup_mode:
+            # pre-generate the cloned corpora at FULL machine width:
+            # the taskset-pinned 2-core level must not pay (and cache
+            # for the 8-core level) a 32-core-sized generation job
+            bigc = int(os.environ.get("SPARK_GRAFT_DEDUP_BIG_CLONES",
+                                      str(clones)))
+            embc = int(os.environ.get("SPARK_GRAFT_DEDUP_EMB_CLONES",
+                                      str(clones)))
+            report["big_clones"] = bigc
+            report["emb_clones"] = embc
+            gen = _session(CPUS)
+            for c in {clones, bigc}:
+                _docs_parquet(gen, c)
+            _emb_parquet(gen, embc)
+            gen.stop()
+        else:
+            gen = _session(CPUS)
+            _pages_parquet(gen, clones)
+            gen.stop()
         for cpus in (lo, CPUS):
             cmd = [sys.executable, os.path.abspath(__file__),
                    level_flag, str(cpus)]
