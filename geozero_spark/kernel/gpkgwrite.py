@@ -28,28 +28,37 @@ _SRS_SQL = (
     'organization TEXT NOT NULL, organization_coordsys_id INTEGER '
     'NOT NULL, definition TEXT NOT NULL, description TEXT)')
 
-# NOTE: the spec's gpkg_contents declares table_name TEXT PRIMARY KEY
-# and identifier UNIQUE; a non-rowid PRIMARY KEY / UNIQUE constraint
-# implies an auto-index b-tree, which this writer does not emit (rowid
-# access only) — sqlite3 would report the file malformed if the DDL
-# promised indexes that are not there. The constraint-free DDL keeps
-# identical column names/types/rows; every consumer reads by table
-# scan. (gpkg_spatial_ref_sys keeps its PRIMARY KEY: INTEGER PK is the
-# rowid itself, no index involved.)
+# Spec-verbatim DDL (www.geopackage.org/spec §gpkg_contents /
+# §gpkg_geometry_columns): the PRIMARY KEY / UNIQUE constraints are
+# real — sqlitewrite emits the implied sqlite_autoindex_* B-trees
+# (1-3 rows each), and integrity_check verifies index<->table
+# consistency, so strict conformance validators reading the DDL find
+# exactly the structures it promises. (gpkg_spatial_ref_sys's INTEGER
+# PRIMARY KEY is the rowid itself — no index involved.)
 _CONTENTS_SQL = (
     'CREATE TABLE gpkg_contents ('
-    'table_name TEXT NOT NULL, data_type TEXT NOT NULL, '
-    'identifier TEXT, description TEXT DEFAULT \'\', '
+    'table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL, '
+    'identifier TEXT UNIQUE, description TEXT DEFAULT \'\', '
     'last_change DATETIME NOT NULL DEFAULT '
     '(strftime(\'%Y-%m-%dT%H:%M:%fZ\',\'now\')), '
     'min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, '
-    'srs_id INTEGER)')
+    'srs_id INTEGER, '
+    'CONSTRAINT fk_gc_r_srs_id FOREIGN KEY (srs_id) '
+    'REFERENCES gpkg_spatial_ref_sys(srs_id))')
+_CONTENTS_INDEXES = [["table_name"], ["identifier"]]
 
 _GEOMCOLS_SQL = (
     'CREATE TABLE gpkg_geometry_columns ('
     'table_name TEXT NOT NULL, column_name TEXT NOT NULL, '
     'geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, '
-    'z TINYINT NOT NULL, m TINYINT NOT NULL)')
+    'z TINYINT NOT NULL, m TINYINT NOT NULL, '
+    'CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name), '
+    'CONSTRAINT uk_gc_table_name UNIQUE (table_name), '
+    'CONSTRAINT fk_gc_tn FOREIGN KEY (table_name) '
+    'REFERENCES gpkg_contents(table_name), '
+    'CONSTRAINT fk_gc_srs FOREIGN KEY (srs_id) '
+    'REFERENCES gpkg_spatial_ref_sys (srs_id))')
+_GEOMCOLS_INDEXES = [["table_name", "column_name"], ["table_name"]]
 
 _WGS84_DEF = ('GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
               '6378137,298.257223563]],PRIMEM["Greenwich",0],'
@@ -141,10 +150,12 @@ def encode(features, table: str = "features", geom_col: str = "geom",
               env[0] if env else None, env[1] if env else None,
               env[2] if env else None, env[3] if env else None,
               srid)],
+            _CONTENTS_INDEXES,
         ),
         (
             "gpkg_geometry_columns", _GEOMCOLS_SQL,
             [(table, geom_col, gtype, srid, 0, 0)],
+            _GEOMCOLS_INDEXES,
         ),
         (table, feat_sql, feat_rows),
     ]

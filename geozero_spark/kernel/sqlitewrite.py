@@ -9,10 +9,15 @@ fit that single page (fine for the handful of tables a GeoPackage
 needs; more tables raise). Output is readable by stdlib sqlite3 (pinned
 in tests) — the parity target, not just our own reader.
 
-Limits (raised loudly, never silent): one interior level
-(~page_size/14 leaves ≈ millions of rows at 4k pages), single-page
-sqlite_master, UTF-8 text only, no indexes (rowid access only — the
-GPKG profile reads by table scan).
+Index B-trees: single-LEAF-page indexes (type 10) back the auto-
+indexes a PRIMARY KEY / UNIQUE constraint implies — enough for the
+GPKG registry tables (1-3 rows each) whose spec DDL promises them;
+feature tables stay rowid-only. integrity_check verifies index<->table
+consistency, so these are real, checked structures.
+
+Limits (raised loudly, never silent): single-page sqlite_master,
+single-leaf indexes, UTF-8 text only. Table B-trees grow interior
+LEVELS bottom-up (unbounded depth).
 """
 
 from __future__ import annotations
@@ -88,6 +93,26 @@ def record_encode(values) -> bytes:
     return _varint_enc(hsize) + st_bytes + b"".join(body)
 
 
+def _index_sort_key(entry):
+    """SQLite index key order: per-column type rank (NULL < numeric <
+    text < blob), numerics by value, text/blob by byte order (BINARY
+    collation), rowid last."""
+    key, rowid = entry
+
+    def k(v):
+        if v is None:
+            return (0, 0.0)
+        if isinstance(v, bool):
+            return (1, float(int(v)))
+        if isinstance(v, (int, float)):
+            return (1, float(v))
+        if isinstance(v, str):
+            return (2, v.encode("utf-8"))
+        return (3, bytes(v))
+
+    return tuple(k(v) for v in key) + ((1, float(rowid)),)
+
+
 class _Db:
     """Accumulates pages; page numbers are 1-based list indices."""
 
@@ -126,7 +151,8 @@ class _Db:
 
     # -- page assembly ---------------------------------------------------
 
-    def _leaf_page(self, cells, first: bool = False) -> bytes:
+    def _leaf_page(self, cells, first: bool = False,
+                   ptype: int = 13) -> bytes:
         base = 100 if first else 0
         hdr_len = 8
         out = bytearray(self.page_size)
@@ -136,7 +162,7 @@ class _Db:
             content -= len(c)
             out[content:content + len(c)] = c
             ptrs.append(content)
-        struct.pack_into(">BHHHB", out, base, 13, 0, len(cells),
+        struct.pack_into(">BHHHB", out, base, ptype, 0, len(cells),
                          content & 0xFFFF, 0)
         p = base + hdr_len
         for ptr in ptrs:
@@ -220,6 +246,31 @@ class _Db:
             children = parents
         return children[0][0]
 
+    def add_index(self, entries) -> int:
+        """Write an index B-tree from [(key tuple, rowid)]; returns its
+        root page number. A single LEAF page (type 10) — the capacity a
+        registry-table auto-index needs (GPKG: 1-3 rows each); more
+        raises loudly. Index cells carry (key columns..., rowid) as one
+        record, sorted in BINARY-collation key order, which is what
+        integrity_check re-derives from the table."""
+        cells = []
+        x = ((self.usable - 12) * 64) // 255 - 23
+        for key, rowid in sorted(entries, key=_index_sort_key):
+            payload = record_encode(tuple(key) + (rowid,))
+            if len(payload) > x:
+                raise SqliteError(
+                    f"index payload of {len(payload)} bytes exceeds "
+                    f"the local maximum {x} (auto-indexes are "
+                    f"registry-sized by design)")
+            cells.append(_varint_enc(len(payload)) + payload)
+        if sum(len(c) + 2 for c in cells) > self.usable - 8:
+            raise SqliteError(
+                "auto-index exceeds one leaf page (this writer only "
+                "emits single-leaf indexes for the registry tables)")
+        n = self._alloc()
+        self.pages[n - 1] = self._leaf_page(cells, ptype=10)
+        return n
+
     def finish(self, master_cells, application_id: int = 0,
                user_version: int = 0) -> bytes:
         # capacity check BEFORE building: _leaf_page packs the type
@@ -260,22 +311,34 @@ class _Db:
 
 def build_db(tables, page_size: int = 4096, application_id: int = 0,
              user_version: int = 0) -> bytes:
-    """Build a database from [(name, create_sql, rows)] where each row
-    is a tuple in the DDL's column order. A column declared INTEGER
+    """Build a database from [(name, create_sql, rows)] or
+    [(name, create_sql, rows, index_col_lists)] where each row is a
+    tuple in the DDL's column order. A column declared INTEGER
     PRIMARY KEY aliases the rowid (its value becomes the rowid and the
     record stores NULL there, the on-disk convention); otherwise
-    rowids enumerate from 1."""
+    rowids enumerate from 1.
+
+    ``index_col_lists``: one auto-index B-tree per entry (a list of
+    column names) — named sqlite_autoindex_<table>_<i> with NULL sql
+    in sqlite_master, exactly what a PRIMARY KEY / UNIQUE constraint
+    in the DDL implies (sqlite.org/fileformat2.html §index b-trees).
+    The caller's DDL must carry the matching constraints or sqlite's
+    schema parser will see indexes the schema never promised."""
     db = _Db(page_size)
     master = []
-    for name, create_sql, rows in tables:
+    for spec in tables:
+        name, create_sql, rows = spec[0], spec[1], spec[2]
+        index_specs = spec[3] if len(spec) > 3 else []
         names, ipk = SqliteFile.parse_columns(create_sql)
         ipk_idx = names.index(ipk) if ipk else None
         encoded = []
+        originals = []  # (rowid, full row) for the index keys
         for i, row in enumerate(rows):
             if len(row) != len(names):
                 raise SqliteError(
                     f"{name}: row has {len(row)} values, DDL declares "
                     f"{len(names)} columns")
+            orig = tuple(row)
             if ipk_idx is not None:
                 rid = row[ipk_idx]
                 if not isinstance(rid, int):
@@ -287,12 +350,20 @@ def build_db(tables, page_size: int = 4096, application_id: int = 0,
             else:
                 rid = i + 1
             encoded.append((rid, record_encode(row)))
+            originals.append((rid, orig))
         encoded.sort(key=lambda t: t[0])
         root = db.add_table(encoded)
-        master.append((name, root, create_sql))
+        master.append(("table", name, name, root, create_sql))
+        for i, cols in enumerate(index_specs):
+            idxs = [names.index(c) for c in cols]
+            entries = [(tuple(orig[j] for j in idxs), rid)
+                       for rid, orig in originals]
+            iroot = db.add_index(entries)
+            master.append(("index", f"sqlite_autoindex_{name}_{i + 1}",
+                           name, iroot, None))
     master_cells = []
-    for i, (name, root, sql) in enumerate(master):
-        rec = record_encode(("table", name, name, root, sql))
+    for i, (kind, name, tbl, root, sql) in enumerate(master):
+        rec = record_encode((kind, name, tbl, root, sql))
         master_cells.append((i + 1, db._make_cell(i + 1, rec)))
     return db.finish(master_cells, application_id=application_id,
                      user_version=user_version)

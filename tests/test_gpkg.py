@@ -324,3 +324,39 @@ def test_write_gpkg_dir_scale_and_single_file_guard(spark, tmp_path):
     with _pytest.raises(Exception, match="write_gpkg_dir"):
         readers.write_gpkg(df.limit(1000), os.path.join(
             str(tmp_path), "cap.gpkg"), max_rows=100)
+
+
+def test_gpkg_spec_ddl_with_real_autoindexes(tmp_path):
+    """The registry DDL is now spec-verbatim (PRIMARY KEY / UNIQUE /
+    FOREIGN KEY constraints included) and the implied
+    sqlite_autoindex_* B-trees are REAL: integrity_check verifies
+    index<->table consistency, foreign_key_check is clean, and
+    sqlite's planner actually uses the index for a keyed lookup
+    (advisor item: strict conformance validators read the DDL)."""
+    from geozero_spark.kernel.model import Geom, POINT
+
+    feats = [(Geom(POINT, (float(i), 1.0)), {"name": f"f{i}"})
+             for i in range(5)]
+    out = gpkgwrite.encode(feats, table="pts")
+    con = _sqlite3_open(out, tmp_path, "ix.gpkg")
+    assert con.execute("pragma integrity_check").fetchone() == ("ok",)
+    assert con.execute("pragma foreign_key_check").fetchall() == []
+    idx = [r[0] for r in con.execute(
+        "select name from sqlite_master where type='index'")]
+    assert idx == [
+        "sqlite_autoindex_gpkg_contents_1",
+        "sqlite_autoindex_gpkg_contents_2",
+        "sqlite_autoindex_gpkg_geometry_columns_1",
+        "sqlite_autoindex_gpkg_geometry_columns_2"]
+    plan = con.execute(
+        "explain query plan select * from gpkg_contents "
+        "where table_name='pts'").fetchall()
+    assert any("sqlite_autoindex_gpkg_contents_1" in r[-1]
+               for r in plan)
+    # spec DDL text round-trips through sqlite's own schema parser
+    ddl = con.execute(
+        "select sql from sqlite_master where name='gpkg_contents'"
+    ).fetchone()[0]
+    assert "PRIMARY KEY" in ddl and "UNIQUE" in ddl
+    # and the repo's own reader still walks every table
+    assert len(list(kgpkg.read_features(out, table="pts"))) == 5
