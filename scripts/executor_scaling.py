@@ -36,6 +36,12 @@ sys.path.insert(0, REPO)
 CLONES = int(os.environ.get("SPARK_GRAFT_DEDUP_CLONES", "100"))
 CORES_PER_EXEC = 2
 K = 4
+# comma list of stages to run (subset of text_stats,simhash,
+# minhash_sigs): the big-corpus runs target one allocation-bound
+# stage without paying the others at that scale
+STAGES = os.environ.get(
+    "SPARK_GRAFT_EXEC_STAGES", "text_stats,simhash,minhash_sigs"
+).split(",")
 
 
 def child(cpus: int, listfile: str, gofile: str) -> None:
@@ -64,13 +70,17 @@ def child(cpus: int, listfile: str, gofile: str) -> None:
             walls.append(time.perf_counter() - t0)
         t[name] = round(min(walls), 3)
 
-    timed("text_stats", lambda: textstats.quality_score(
-        textstats.token_stats(docs)).select(F.sum("quality")).collect())
-    timed("simhash", lambda: dedup.simhash(docs, fast=True).select(
-        F.expr("bit_xor(simhash)")).collect())
-    timed("minhash_sigs", lambda: dedup.minhash_signatures(
-        docs, fast=True).select(
-        F.expr("bit_xor(element_at(sig, 1))")).collect())
+    if "text_stats" in STAGES:
+        timed("text_stats", lambda: textstats.quality_score(
+            textstats.token_stats(docs)).select(
+            F.sum("quality")).collect())
+    if "simhash" in STAGES:
+        timed("simhash", lambda: dedup.simhash(docs, fast=True).select(
+            F.expr("bit_xor(simhash)")).collect())
+    if "minhash_sigs" in STAGES:
+        timed("minhash_sigs", lambda: dedup.minhash_signatures(
+            docs, fast=True).select(
+            F.expr("bit_xor(element_at(sig, 1))")).collect())
     print(json.dumps({"rows": n, "timings": t}), flush=True)
     spark.stop()
 
