@@ -174,13 +174,15 @@ def ann_topk(queries: DataFrame, targets: DataFrame, k: int, dim: int,
     signs identically in every band, and an unbounded ``q JOIN t ON
     bucket`` then goes quadratic in that mass (the exact skew
     minhash_lsh_pairs bounds with its own max_bucket). Band buckets
-    whose TARGET population exceeds the cap are dropped from the join
-    (a broadcast anti-join on the tiny oversized-bucket set — the
-    target side still shuffles exactly once, on ``bucket``), so per
-    query and band at most ``max_bucket`` candidates arrive. Queries
-    landing only in dropped buckets return no rows — the standard
-    LSH degradation; the operator is approximate by contract.
-    ``None`` disables the bound."""
+    whose TARGET population exceeds the cap are dropped via a window
+    count over the SAME (bucket) exchange the join needs — the
+    signature UDF evaluates once and the target side still shuffles
+    exactly once (a separate count-aggregate branch would re-run the
+    whole signature pipeline for a second pass over the targets) — so
+    per query and band at most ``max_bucket`` candidates arrive.
+    Queries landing only in dropped buckets return no rows — the
+    standard LSH degradation; the operator is approximate by
+    contract. ``None`` disables the bound."""
     if portable:
         def _sigged(df, vec):
             exprs = srp_band_buckets_sql(vec, dim, bits, bands, seed)
@@ -199,11 +201,9 @@ def ann_topk(queries: DataFrame, targets: DataFrame, k: int, dim: int,
              .withColumn("bucket", F.explode("_sig")).drop("_sig")
              .withColumn("_tn", F.expr(norm2_expr(tvec))))
     if max_bucket is not None:
-        oversized = (t.groupBy("bucket")
-                     .agg(F.count("*").alias("_bn"))
-                     .where(F.col("_bn") > max_bucket)
-                     .select("bucket"))
-        t = t.join(F.broadcast(oversized), on="bucket", how="left_anti")
+        wb = Window.partitionBy("bucket")
+        t = (t.withColumn("_bn", F.count("*").over(wb))
+             .where(F.col("_bn") <= max_bucket).drop("_bn"))
     cand = q.join(t, on="bucket").drop("bucket")
     if exclude_self:
         cand = cand.where(F.col(query_key) != F.col(target_key))
