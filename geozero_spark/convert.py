@@ -283,12 +283,9 @@ def convert(spark: SparkSession, src: str, dst: str,
         return _write_single_text(
             df, dst, _render_svg(extent, svg_width, svg_height))
     if ext == "fgb":
-        keys = _prop_keys(df)
-        readers.write_fgb(_expand_props(df, keys), dst)
-        return df.count()
+        return readers.write_fgb(_expand_props(df, _prop_keys(df)), dst)
     if ext == "gpkg":
-        keys = _prop_keys(df)
-        readers.write_gpkg(_expand_props(df, keys), dst)
-        return df.count()
+        return readers.write_gpkg(_expand_props(df, _prop_keys(df)),
+                                  dst)
     raise ValueError(f"Unknown output file extension .{ext} "
                      f"(main.rs:177)")

@@ -485,7 +485,7 @@ def read_fgb_ranged(spark: SparkSession, url: str,
 
 def write_fgb(df: DataFrame, path: str, geom_col: str = "geom",
               name: str | None = None, srid: int | None = None,
-              index_node_size: int = 16) -> None:
+              index_node_size: int = 16) -> int:
     """Write a DataFrame with a geometry struct column as ONE
     FlatGeobuf file (kernel/fgbwrite.py — the reference's FgbWriter
     sink, geozero-cli/src/main.rs:161-166). Non-geometry columns become
@@ -523,7 +523,8 @@ def write_fgb(df: DataFrame, path: str, geom_col: str = "geom",
         os.replace(tmp, path)
         yield pd.DataFrame({"n": [len(feats)]})
 
-    df.coalesce(1).mapInPandas(write_part, "n long").count()
+    return int(df.coalesce(1).mapInPandas(write_part, "n long")
+               .agg(F.sum("n")).collect()[0][0] or 0)
 
 
 def write_fgb_dir(df: DataFrame, path: str, geom_col: str = "geom",
@@ -568,7 +569,7 @@ def write_fgb_dir(df: DataFrame, path: str, geom_col: str = "geom",
 
 def write_gpkg(df: DataFrame, path: str, geom_col: str = "geom",
                table: str = "features", srid: int = 4326,
-               max_rows: int = 2_000_000) -> None:
+               max_rows: int = 2_000_000) -> int:
     """Write a DataFrame with a geometry struct column as ONE
     GeoPackage file (kernel/gpkgwrite.py — full GPKG core profile:
     application_id, srs registry, contents, geometry_columns, features
@@ -612,7 +613,8 @@ def write_gpkg(df: DataFrame, path: str, geom_col: str = "geom",
         os.replace(tmp, path)
         yield pd.DataFrame({"n": [len(feats)]})
 
-    df.coalesce(1).mapInPandas(write_part, "n long").count()
+    return int(df.coalesce(1).mapInPandas(write_part, "n long")
+               .agg(F.sum("n")).collect()[0][0] or 0)
 
 
 def write_gpkg_dir(df: DataFrame, path: str, geom_col: str = "geom",
