@@ -853,6 +853,11 @@ ORACLES["fgb_ranged_decode"] = ORACLES["fgb_decode"]
 # walker roundtrip); doc_id rides as a property
 ORACLES["gpkg_decode"] = ORACLES["fgb_decode"]
 
+# the partition-parallel dir sink carries the same planted points
+# split over 4 per-partition containers; the directory scan reunions
+# them and the order-insensitive compare absorbs the split
+ORACLES["gpkg_dir_decode"] = ORACLES["fgb_decode"]
+
 
 # event-time tumbling window: warc_ts = epoch + doc_id seconds; the
 # 1-hour window start is integer floor division (all values positive)

@@ -602,6 +602,38 @@ def q_gpkg_decode(spark, sf_dir):
         cols.point_y(F.col("geom")).cast("long").alias("y_c"))
 
 
+def q_gpkg_dir_decode(spark, sf_dir):
+    """The PARTITION-PARALLEL GeoPackage sink end to end: the same
+    capped point set repartitioned 4 ways -> write_gpkg_dir (one
+    .gpkg container per partition, each with its own B-trees +
+    registry) -> read_gpkg directory scan merging all files. The
+    order-insensitive compare absorbs the partition split; green here
+    means every per-partition container is independently valid AND
+    the directory scan reassembles exactly the input rows."""
+    import hashlib
+    import os
+
+    from .sources import readers
+
+    P.register_views(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    d = f"/tmp/gz_gpkgd_{tag}_cap{SHP_FIXTURE_CAP}"
+    if not os.path.exists(os.path.join(d, "part-00000.gpkg")):
+        src = spark.sql(
+            f"SELECT doc_id, {P.LOC_WKT} AS wkt FROM documents "
+            f"ORDER BY doc_id LIMIT {SHP_FIXTURE_CAP}")
+        src = src.select(
+            "doc_id",
+            cols.point_struct_from_wkt_jvm(F.col("wkt")).alias("geom"))
+        readers.write_gpkg_dir(src.repartition(4, "doc_id"), d,
+                               table="points")
+    out = readers.read_gpkg(spark, d, table="points")
+    return out.select(
+        F.col("props")["doc_id"].cast("long").alias("doc_id"),
+        cols.point_x(F.col("geom")).cast("long").alias("x_c"),
+        cols.point_y(F.col("geom")).cast("long").alias("y_c"))
+
+
 def q_gpx_decode(spark, sf_dir):
     """GPX reader through the Spark layer: per-page GPX documents
     (waypoint + track + route) -> member geometries in the reference's
@@ -936,6 +968,7 @@ QUERIES = {
     "fgb_decode": q_fgb_decode,
     "fgb_ranged_decode": q_fgb_ranged_decode,
     "gpkg_decode": q_gpkg_decode,
+    "gpkg_dir_decode": q_gpkg_dir_decode,
     "mvt_tiles": q_mvt_tiles,
     "mvt_feature_counts": q_mvt_feature_counts,
     "mvt_content": q_mvt_content,
