@@ -139,3 +139,36 @@ def test_shp_source_and_errors(spark, tmp_path):
         convert(spark, "/nope/file.xyz", os.path.join(d, "o.wkt"))
     with pytest.raises(ValueError, match="Unknown output"):
         convert(spark, FIX, os.path.join(d, "o.xyz"))
+
+
+def test_convert_http_fgb_source(spark, tmp_path):
+    """convert() over an http:// FlatGeobuf source: the range-read
+    scan (HttpFgbReader pattern) feeds the same sink surface, served
+    by a live in-process Range-HTTP server."""
+    import http.server
+    import socketserver
+    import threading
+
+    serve_dir = os.path.dirname(FIX)
+
+    class H(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=serve_dir, **kw)
+
+        def log_message(self, *a):
+            pass
+
+    srv = socketserver.TCPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = (f"http://127.0.0.1:{srv.server_address[1]}/"
+               f"countries.fgb")
+        out = os.path.join(str(tmp_path), "remote.geojson")
+        n = convert(spark, url, out, bbox=BBOX)
+        assert n == 6
+        back = json.load(open(out, encoding="utf-8"))
+        assert len(back["features"]) == 6
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -361,3 +361,46 @@ def test_typed_props_default_unchanged():
     assert r_default is not None and r_explicit is not None
     assert r_default[0] == r_explicit[0] == _kernel_tile_props(
         geoms, id_props)
+
+
+def test_typed_props_random_parity():
+    """Property-based three-branch parity: random typed prop dicts
+    (value collisions for dedup, absent keys, all four MVT value
+    types, empty dicts) against the kernel encoder, above and below
+    the columnar threshold."""
+    from hypothesis import given, settings, strategies as st
+
+    vals = st.one_of(
+        st.integers(min_value=0, max_value=1 << 40),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=8),
+        st.booleans())
+    props_st = st.dictionaries(
+        st.text(min_size=1, max_size=6), vals, max_size=4)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(props_st, min_size=1, max_size=6),
+           st.booleans())
+    def run(prop_dicts, big):
+        n = len(prop_dicts)
+        if big:
+            # replicate past the columnar threshold, keys stay aligned
+            reps = (mvt_fast._VECTOR_MIN // n) + 1
+            prop_dicts = prop_dicts * reps
+            n = len(prop_dicts)
+        geoms = [GEOMS[i % len(GEOMS)] for i in range(n)]
+        want = _kernel_tile_props(geoms, prop_dicts)
+        items = [(str(i), sr.to_struct(wkt.decode(w)))
+                 for i, w in enumerate(geoms)]
+        r = mvt_fast.encode_tile_fast("layer", EXTENT, items, *BOUNDS,
+                                      props_list=prop_dicts)
+        assert r is not None and r[0] == want
+        keys, cols = _cols_from_items(items)
+        r2 = mvt_fast.encode_tile_cols(
+            "layer", EXTENT, keys, cols["kind"], cols["has_z"],
+            cols["has_m"], cols["coords"], cols["offs1"],
+            cols["offs2"], cols["wkb"], *BOUNDS,
+            props_list=prop_dicts)
+        assert r2 is not None and r2[0] == want
+
+    run()
