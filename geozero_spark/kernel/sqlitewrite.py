@@ -101,16 +101,19 @@ def _index_sort_key(entry):
 
     def k(v):
         if v is None:
-            return (0, 0.0)
+            return (0, 0)
         if isinstance(v, bool):
-            return (1, float(int(v)))
+            return (1, int(v))
         if isinstance(v, (int, float)):
-            return (1, float(v))
+            # keep the native type: Python compares int vs float
+            # EXACTLY, while float(v) of an int >= 2^53 is lossy and
+            # can mis-order large integer keys vs SQLite's collation
+            return (1, v)
         if isinstance(v, str):
             return (2, v.encode("utf-8"))
         return (3, bytes(v))
 
-    return tuple(k(v) for v in key) + ((1, float(rowid)),)
+    return tuple(k(v) for v in key) + ((1, rowid),)
 
 
 class _Db:
@@ -231,13 +234,21 @@ class _Db:
         # right-most pointer
         fanout = (self.usable - 12) // 15 + 1
         while len(children) > 1:
+            groups = [children[i:i + fanout]
+                      for i in range(0, len(children), fanout)]
+            # SQLite requires uniform B-tree depth: a lone trailing
+            # child promoted directly into the parent level would sit
+            # one level shallower than its siblings and integrity_check
+            # rejects the file ("Child page depth differs") — recurs at
+            # every child count == 1 mod fanout. Rebalance instead:
+            # move one child from the penultimate group so the last two
+            # groups are (fanout - 1, 2), then wrap EVERY group in an
+            # interior page.
+            if len(groups) > 1 and len(groups[-1]) == 1:
+                groups[-1] = [groups[-2][-1]] + groups[-1]
+                groups[-2] = groups[-2][:-1]
             parents = []
-            for i in range(0, len(children), fanout):
-                grp = children[i:i + fanout]
-                if len(grp) == 1:
-                    # a lone trailing child needs no interior page
-                    parents.append(grp[0])
-                    continue
+            for grp in groups:
                 entries = grp[:-1]
                 right, right_mx = grp[-1]
                 n = self._alloc()

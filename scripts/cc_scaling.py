@@ -43,7 +43,8 @@ def level(cpus: int, n: int) -> None:
     docs = spark.range(n, numPartitions=par) \
         .withColumnRenamed("id", "doc_id")
     edges = (spark.range(n, numPartitions=par)
-             .where(F.expr(f"id % {CHAIN_LEN} != {CHAIN_LEN - 1}"))
+             .where(F.expr(f"id % {CHAIN_LEN} != {CHAIN_LEN - 1} "
+                           f"AND id + 1 < {n}"))
              .selectExpr("id AS doc_id_a", "id + 1 AS doc_id_b")
              .persist())
     n_edges = edges.count()

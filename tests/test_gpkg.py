@@ -360,3 +360,61 @@ def test_gpkg_spec_ddl_with_real_autoindexes(tmp_path):
     assert "PRIMARY KEY" in ddl and "UNIQUE" in ddl
     # and the repo's own reader still walks every table
     assert len(list(kgpkg.read_features(out, table="pts"))) == 5
+
+
+def test_btree_uniform_depth_at_lone_trailing_leaf(tmp_path):
+    """24,392 of these point features pack into exactly fanout+1 = 274
+    leaves at page_size 4096, so the interior level used to group as
+    (273, 1) and promote the lone trailing leaf one level up. SQLite
+    requires uniform B-tree depth ("Child page depth differs" from
+    integrity_check); the builder now rebalances to (272, 2). The
+    window recurs every ~28k rows per file, i.e. well inside
+    write_gpkg's 2M-row bound (advisor round-5 high)."""
+    from geozero_spark.kernel.model import Geom, POINT
+
+    # pin that this row count really lands on leaves % fanout == 1 —
+    # if cell packing ever changes, fail loudly instead of silently
+    # testing a benign count
+    leaf_counts = []
+    orig = sqlitewrite._Db._pack_leaves
+
+    def spy(self, cells, first_is_master=False):
+        out = orig(self, cells, first_is_master)
+        leaf_counts.append(len(out))
+        return out
+
+    n = 24392
+    feats = [(Geom(POINT, (float(i % 1000) / 10.0, float(i // 1000))),
+              {"name": f"f{i:06d}"}) for i in range(n)]
+    sqlitewrite._Db._pack_leaves = spy
+    try:
+        out = gpkgwrite.encode(feats, table="pts")
+    finally:
+        sqlitewrite._Db._pack_leaves = orig
+    fanout = (4096 - 12) // 15 + 1
+    assert max(leaf_counts) % fanout == 1, \
+        f"feature payload changed: {max(leaf_counts)} leaves no longer " \
+        f"hits the lone-trailing-child window (re-tune n)"
+    con = _sqlite3_open(out, tmp_path, "deep.gpkg")
+    assert con.execute("pragma integrity_check").fetchone() == ("ok",)
+    assert con.execute("select count(*) from pts").fetchone() == (n,)
+    # the repo's own walker agrees
+    assert sum(1 for _ in kgpkg.read_features(out, table="pts")) == n
+
+
+def test_index_sort_key_exact_large_ints(tmp_path):
+    """Index keys at |v| >= 2^53 compare exactly (float(v) collapses
+    2^53 and 2^53+1, mis-ordering the index vs SQLite's numeric
+    collation — advisor round-5 low). Rows arrive descending so a
+    lossy sort would keep them descending and integrity_check would
+    reject the index order."""
+    big = 1 << 53
+    buf = sqlitewrite.build_db([(
+        "t", "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER, "
+        "UNIQUE (v))",
+        [(1, big + 1), (2, big), (3, big - 1)],
+        [["v"]])])
+    con = _sqlite3_open(buf, tmp_path, "bigint.db")
+    assert con.execute("pragma integrity_check").fetchone() == ("ok",)
+    assert [r[0] for r in con.execute(
+        "select id from t where v > ? order by v", (big - 1,))] == [2, 1]
