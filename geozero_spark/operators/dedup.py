@@ -111,7 +111,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         th.minhash_perm("_mh_hashes", 2 * j + 3,
                         (j * 2654435761) % th.P, _D)
         for j in range(num_perm))
-    sigs = df.withColumn("_mh_toks", F.expr(toks))
+    # the shingle+perm pipeline is the expensive per-row stage: make
+    # sure a narrow single-split scan does not serialize it on one core
+    from ..functions import ensure_width
+    sigs = ensure_width(df).withColumn("_mh_toks", F.expr(toks))
     if pre is not None:
         sigs = sigs.withColumn(pre[0], F.expr(pre[1]))
     return (sigs.withColumn("_mh_hashes", F.expr(hashes))

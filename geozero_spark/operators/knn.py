@@ -81,10 +81,13 @@ def _select_topk(d2, kk: int, big: int):
     ARBITRARY subset when more than kk candidates tie exactly at the
     kk-th distance, so rows with a real boundary tie (kth < big and
     more than kk candidates <= kth) are re-done with a full stable
-    argsort — rare, exact, and rows whose ties are all at ``big``
-    (self-exclusion filler) never need it because those rows are
-    dropped by the keep mask anyway. Returns (sel, d2o): column
-    indices and distances, each (rows, kk)."""
+    argsort. That fallback is fine for sporadic ties but collapses on
+    grid-quantized/cloned corpora where EVERY row ties at the boundary
+    (measured 110 s/task vs 17 s tie-free at the same shape) — the
+    narrow-coordinate kernel in _local_topk_arrays therefore uses the
+    packed uint64 (dist2, column) selection instead and never calls
+    this; this path remains for out-of-envelope int64 coordinates.
+    Returns (sel, d2o): column indices and distances, each (rows, kk)."""
     import numpy as np
 
     part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
@@ -102,6 +105,93 @@ def _select_topk(d2, kk: int, big: int):
     return sel, d2o
 
 
+def _local_topk_arrays(qid, qxv, qyv, tid, txv, tyv, k: int,
+                       exclude_self: bool, budget: int = 1 << 20):
+    """Shared exact local-top-k kernel (broadcast partitions AND cell
+    cogroups): per query, the k nearest of THESE targets by
+    (dist2, target_key). Targets need not arrive sorted. Returns
+    (q, t, d) int64 arrays.
+
+    Narrow types when coordinates allow (guide §2.3): within the
+    centi-degree envelope (|v| <= 23000) dx*dx fits int32 and dx2+dy2
+    fits uint32 — HALF the memory traffic of the int64 kernel, which
+    is what bounds this loop — and _select_topk can pack (dist2, col)
+    into one uint64 argpartition key (exact tie-break with no per-row
+    fallback; cloned corpora tie on EVERY row). ``budget`` bounds the
+    scratch matrices (elements); buffers are allocated once and reused
+    across chunks (fresh >128KB allocs fault ~25x the arithmetic)."""
+    import numpy as np
+
+    nq, nt = len(qid), len(tid)
+    ts = np.argsort(tid, kind="stable")
+    tid, txv, tyv = tid[ts], txv[ts], tyv[ts]
+    small = (max(abs(int(txv.max())), abs(int(txv.min())),
+                 abs(int(tyv.max())), abs(int(tyv.min())),
+                 abs(int(qxv.max())), abs(int(qxv.min())),
+                 abs(int(qyv.max())), abs(int(qyv.min()))) <= 23000)
+    if small:
+        cdt, sdt, big = np.int32, np.uint32, (1 << 32) - 1
+    else:
+        cdt, sdt, big = np.int64, np.int64, np.iinfo(np.int64).max
+    txc, tyc = txv.astype(cdt), tyv.astype(cdt)
+    qxc, qyc = qxv.astype(cdt), qyv.astype(cdt)
+    out_q, out_t, out_d = [], [], []
+    chunk = min(nq, max(1, budget // max(nt, 1)))
+    dxb = np.empty((chunk, nt), cdt)
+    dyb = np.empty((chunk, nt), cdt)
+    d2b = np.empty((chunk, nt), sdt)
+    if small:
+        # packed (dist2, column) uint64 selection key: one
+        # argpartition is then exact INCLUDING the (dist2, target_key)
+        # tie-break — no stable-sort subset, no per-row fallback on
+        # boundary ties (which cloned/grid-quantized corpora hit on
+        # every row). col < 2^31 and dist2 (incl. filler) < 2^32 keep
+        # the pack overflow-free.
+        keyb = np.empty((chunk, nt), np.uint64)
+        colb = np.arange(nt, dtype=np.uint64)
+    kk = min(k, nt)
+    for s in range(0, nq, chunk):
+        e = min(s + chunk, nq)
+        m = e - s
+        dx = np.subtract(txc[None, :], qxc[s:e, None], out=dxb[:m])
+        dy = np.subtract(tyc[None, :], qyc[s:e, None], out=dyb[:m])
+        np.multiply(dx, dx, out=dx)
+        np.multiply(dy, dy, out=dy)
+        # int32 squares are non-negative: the uint32 view is value-
+        # preserving and the sum cannot wrap (23000^2 * 2 < 2^32); on
+        # the int64 path the view is the identity
+        d2 = np.add(dx.view(sdt), dy.view(sdt), out=d2b[:m])
+        if exclude_self:
+            # targets are key-sorted: locate each query's own key by
+            # binary search instead of an O(nq*nt) equality+mask pass
+            lo = np.searchsorted(tid, qid[s:e], side="left")
+            hi = np.searchsorted(tid, qid[s:e], side="right")
+            for r in np.nonzero(hi > lo)[0]:
+                d2[r, lo[r]:hi[r]] = big
+        if small:
+            key = keyb[:m]
+            np.copyto(key, d2, casting="safe")
+            np.left_shift(key, np.uint64(31), out=key)
+            np.add(key, colb[None, :], out=key)
+            if kk < nt:
+                part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.broadcast_to(np.arange(nt), key.shape).copy()
+            keys = np.take_along_axis(key, part, axis=1)
+            order = np.argsort(keys, axis=1)  # keys unique: exact
+            sel = np.take_along_axis(part, order, axis=1)
+            d2o = (np.take_along_axis(keys, order, axis=1)
+                   >> np.uint64(31))
+        else:
+            sel, d2o = _select_topk(d2, kk, big)
+        keep = (d2o != big).ravel()
+        out_q.append(np.repeat(qid[s:e], kk)[keep])
+        out_t.append(tid[sel.ravel()[keep]])
+        out_d.append(d2o.ravel()[keep].astype(np.int64))
+    return (np.concatenate(out_q), np.concatenate(out_t),
+            np.concatenate(out_d))
+
+
 def _cell_local_topk(disks: DataFrame, tgt: DataFrame, k: int,
                      query_key: str, target_key: str,
                      qx: str, qy: str, tx: str, ty: str,
@@ -117,38 +207,15 @@ def _cell_local_topk(disks: DataFrame, tgt: DataFrame, k: int,
         if not len(qpdf) or not len(tpdf):
             return pd.DataFrame(
                 {query_key: [], target_key: [], "dist2": []})
-        qid = qpdf[query_key].to_numpy(dtype=np.int64)
-        qxv = qpdf[qx].to_numpy(dtype=np.int64)
-        qyv = qpdf[qy].to_numpy(dtype=np.int64)
-        tid = tpdf[target_key].to_numpy(dtype=np.int64)
-        txv = tpdf[tx].to_numpy(dtype=np.int64)
-        tyv = tpdf[ty].to_numpy(dtype=np.int64)
-        # pre-sort targets by key: a STABLE argsort of dist2 then gives
-        # exact (dist2, target_key) order fully vectorized (no per-row
-        # python lexsort loop — same trick as knn_join_broadcast)
-        ts = np.argsort(tid, kind="stable")
-        tid, txv, tyv = tid[ts], txv[ts], tyv[ts]
-        big = np.iinfo(np.int64).max
-        out_q, out_t, out_d = [], [], []
-        chunk = max(1, (8 << 20) // max(len(tid), 1))
-        for s in range(0, len(qid), chunk):
-            e = min(s + chunk, len(qid))
-            dx = txv[None, :] - qxv[s:e, None]
-            dy = tyv[None, :] - qyv[s:e, None]
-            d2 = dx * dx + dy * dy
-            if exclude_self:
-                same = qid[s:e, None] == tid[None, :]
-                d2 = np.where(same, big, d2)
-            kk = min(k, d2.shape[1])
-            sel, d2o = _select_topk(d2, kk, big)
-            keep = (d2o != big).ravel()
-            out_q.append(np.repeat(qid[s:e], kk)[keep])
-            out_t.append(tid[sel.ravel()[keep]])
-            out_d.append(d2o.ravel()[keep])
-        return pd.DataFrame({
-            query_key: np.concatenate(out_q),
-            target_key: np.concatenate(out_t),
-            "dist2": np.concatenate(out_d)})
+        q, t, d = _local_topk_arrays(
+            qpdf[query_key].to_numpy(dtype=np.int64),
+            qpdf[qx].to_numpy(dtype=np.int64),
+            qpdf[qy].to_numpy(dtype=np.int64),
+            tpdf[target_key].to_numpy(dtype=np.int64),
+            tpdf[tx].to_numpy(dtype=np.int64),
+            tpdf[ty].to_numpy(dtype=np.int64),
+            k, exclude_self, budget=8 << 20)
+        return pd.DataFrame({query_key: q, target_key: t, "dist2": d})
 
     return (disks.groupBy("cell")
             .cogroup(tgt.groupBy("cell"))
@@ -187,7 +254,6 @@ def knn_join_broadcast(queries: DataFrame, targets: DataFrame, k: int,
 
     def local_topk(it):
         qid, qxv, qyv = bc.value
-        nq = len(qid)
         # drain the whole partition first: Arrow feeds many small
         # batches, and running the per-query selection per batch
         # multiplies the Python row loop by the batch count (measured
@@ -195,48 +261,14 @@ def knn_join_broadcast(queries: DataFrame, targets: DataFrame, k: int,
         pdfs = [pdf for pdf in it if len(pdf)]
         if pdfs:
             pdf = pd.concat(pdfs, ignore_index=True)
-            tid = pdf[target_key].to_numpy(dtype=np.int64)
-            txv = pdf[tx].to_numpy(dtype=np.int64)
-            tyv = pdf[ty].to_numpy(dtype=np.int64)
-            # pre-sort targets by key so a STABLE argsort of dist2
-            # yields (dist2, target_key) order with no per-row Python
-            ts = np.argsort(tid, kind="stable")
-            tid, txv, tyv = tid[ts], txv[ts], tyv[ts]
-            big = np.iinfo(np.int64).max
-            out_q, out_t, out_d = [], [], []
-            nt = len(tid)
-            # REUSED scratch buffers: per-chunk fresh numpy allocations
-            # at this size go through mmap/munmap, and the first-touch
-            # page faults across 32 concurrent workers cost ~25x the
-            # arithmetic (measured 13.5s vs 0.54s for the same loop)
-            chunk = min(nq, max(1, (1 << 20) // max(nt, 1)))
-            dxb = np.empty((chunk, nt), np.int64)
-            dyb = np.empty((chunk, nt), np.int64)
-            sameb = np.empty((chunk, nt), bool)
-            for s in range(0, nq, chunk):
-                e = min(s + chunk, nq)
-                m = e - s
-                dx = np.subtract(txv[None, :], qxv[s:e, None],
-                                 out=dxb[:m])
-                dy = np.subtract(tyv[None, :], qyv[s:e, None],
-                                 out=dyb[:m])
-                np.multiply(dx, dx, out=dx)
-                np.multiply(dy, dy, out=dy)
-                d2 = np.add(dx, dy, out=dx)
-                if exclude_self:
-                    same = np.equal(qid[s:e, None], tid[None, :],
-                                    out=sameb[:m])
-                    np.copyto(d2, big, where=same)
-                kk = min(k, d2.shape[1])
-                sel, d2o = _select_topk(d2, kk, big)
-                keep = (d2o != big).ravel()
-                out_q.append(np.repeat(qid[s:e], kk)[keep])
-                out_t.append(tid[sel.ravel()[keep]])
-                out_d.append(d2o.ravel()[keep])
+            q, t, d = _local_topk_arrays(
+                qid, qxv, qyv,
+                pdf[target_key].to_numpy(dtype=np.int64),
+                pdf[tx].to_numpy(dtype=np.int64),
+                pdf[ty].to_numpy(dtype=np.int64),
+                k, exclude_self)
             yield pd.DataFrame({
-                query_key: np.concatenate(out_q),
-                target_key: np.concatenate(out_t),
-                "dist2": np.concatenate(out_d)})
+                query_key: q, target_key: t, "dist2": d})
 
     partials = targets.select(target_key, tx, ty).mapInPandas(
         local_topk, out_schema)
@@ -246,6 +278,15 @@ def knn_join_broadcast(queries: DataFrame, targets: DataFrame, k: int,
 
 
 BROADCAST_QUERY_LIMIT = 100_000
+# |Q| * |T| distance evaluations above which the grid index beats the
+# broadcast scan: the broadcast path's work is exactly the pair count
+# (measured ~1e-9..3e-9 s/pair/core on the uint32 kernel), while the
+# grid path's is |T| (one cell shuffle) + |Q| * disk-local candidates.
+# Measured crossover on this box sits between 4e8 (broadcast 2x faster)
+# and 4e10 (grid 9x faster) pairs; 4e9 splits the window. Like the
+# pip_join prefilter this is a WORK-shaped bound, not a tuned-to-local
+# constant: both sides of the comparison scale with cores.
+BROADCAST_WORK_LIMIT = 4_000_000_000
 
 
 def knn_join(queries: DataFrame, targets: DataFrame, k: int,
@@ -267,14 +308,24 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
 
     method: "grid" (cell-cogrouped disk expansion — the index path for
     large query sets), "broadcast" (broadcast-queries partition-local
-    top-k — fastest when |Q| is small), or "auto" (broadcast when the
-    query side is under BROADCAST_QUERY_LIMIT rows). Both are exact and
+    top-k — fastest when |Q| is small), or "auto" (broadcast when BOTH
+    the query side is under BROADCAST_QUERY_LIMIT rows and the total
+    |Q| * |T| distance work is under BROADCAST_WORK_LIMIT — a small
+    query set over a huge target table is exactly where the scan's
+    quadratic work loses to the grid index). Both are exact and
     bit-identical.
     """
+    n_t_known = None
     if method == "auto":
         n_q = queries.select(query_key).limit(
             BROADCAST_QUERY_LIMIT + 1).count()
-        method = "broadcast" if n_q <= BROADCAST_QUERY_LIMIT else "grid"
+        if n_q > BROADCAST_QUERY_LIMIT:
+            method = "grid"
+        else:
+            n_t_known = targets.count()
+            method = ("broadcast"
+                      if n_q * n_t_known <= BROADCAST_WORK_LIMIT
+                      else "grid")
     if method == "broadcast":
         return knn_join_broadcast(
             queries, targets, k, query_key=query_key,
@@ -283,7 +334,8 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     if method != "grid":
         raise ValueError(f"unknown kNN method {method!r}")
     if res is None:
-        res = auto_res(targets.count())
+        res = auto_res(n_t_known if n_t_known is not None
+                       else targets.count())
     n = 1 << res
     cell_h = 18000.0 / n  # centi-degrees per cell (latitude pitch)
     if max_radius is None:

@@ -35,24 +35,183 @@ def norm2_expr(a: str) -> str:
     return _NORM2.format(a=a)
 
 
+def _fold_mat(vecs) -> np.ndarray:
+    """(n, dim) float64 matrix from a pandas Series / list of float32
+    arrays — the float->double widening is exact, so every element
+    equals the SQL ``CAST(x AS DOUBLE)``."""
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+
+
+def _fold_norm2(mat: np.ndarray) -> np.ndarray:
+    """Per-row left fold of squares in ascending index order — the
+    exact IEEE-double op sequence of norm2_expr (acc + v*v per j), so
+    the result is bit-identical to the SQL/DuckDB fold."""
+    acc = np.zeros(len(mat), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc += mat[:, j] * mat[:, j]
+    return acc
+
+
+def _select_topk_key(key: np.ndarray, kk: int, big: float):
+    """Exact per-row top-k selection by (key ASC, column-order ASC) for
+    float keys; columns must be pre-sorted by the tie-break order.
+    Entries at ``big`` are exclusion filler (mirrors knn._select_topk).
+    Returns (sel, keyo)."""
+    part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+    part.sort(axis=1)
+    keys = np.take_along_axis(key, part, axis=1)
+    order = np.argsort(keys, axis=1, kind="stable")
+    sel = np.take_along_axis(part, order, axis=1)
+    keyo = np.take_along_axis(keys, order, axis=1)
+    kth = keyo[:, -1]
+    bad = (kth < big) & ((key <= kth[:, None]).sum(axis=1) > kk)
+    for r in np.nonzero(bad)[0]:
+        full = np.argsort(key[r], kind="stable")[:kk]
+        sel[r] = full
+        keyo[r] = key[r][full]
+    return sel, keyo
+
+
 def cosine_topk(queries: DataFrame, targets: DataFrame, k: int,
                 query_key: str = "q_id", target_key: str = "t_id",
                 qvec: str = "qvec", tvec: str = "tvec",
                 exclude_self: bool = True) -> DataFrame:
-    """Exact cosine top-k: (query_key, target_key, cosine, rank)."""
-    q = queries.withColumn("_qn", F.expr(norm2_expr(qvec)))
-    t = targets.withColumn("_tn", F.expr(norm2_expr(tvec)))
-    cand = F.broadcast(q).crossJoin(t)
-    if exclude_self:
-        cand = cand.where(F.col(query_key) != F.col(target_key))
-    cand = cand.withColumn(
-        "cosine",
-        F.expr(f"{dot_expr(qvec, tvec)} / (sqrt(_qn) * sqrt(_tn))"))
+    """Exact cosine top-k: (query_key, target_key, cosine, rank).
+
+    Queries are collected/broadcast (the baseline's contract — small
+    query sets); each target partition computes a numpy partial top-k,
+    so the big side is never shuffled and only |partitions| * |Q| * k
+    partial rows reach the final per-query window. The per-pair double
+    is BIT-IDENTICAL to the old SQL higher-order-function fold (and
+    hence the DuckDB oracle): products and the ascending-index
+    accumulation run in the same IEEE-double order (``acc += x_j*y_j``
+    per j — numpy issues separate multiply and add ufuncs, no FMA),
+    and sqrt/multiply/divide follow the same op order as
+    ``dot / (sqrt(qn) * sqrt(tn))``. The interpreted fold the SQL form
+    pays (higher-order functions run outside codegen) made the old
+    |Q| x |T| crossJoin the suite's slowest non-kNN query."""
+    qrows = queries.select(query_key, qvec).collect()
+    spark = queries.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_key} long, {target_key} long, cosine double, "
+                f"rank int")
+    qid = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = _fold_mat([r[1] for r in qrows])
+    sqq = np.sqrt(_fold_norm2(qmat))
+    bc = spark.sparkContext.broadcast((qid, qmat, sqq))
+
+    out_schema = f"{query_key} long, {target_key} long, cosine double"
+    kq = k
+
+    def local_topk(it):
+        qid, qmat, sqq = bc.value
+        nq, dim = qmat.shape
+        pdfs = [pdf for pdf in it if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        tid = pdf[target_key].to_numpy(dtype=np.int64)
+        tmat = _fold_mat(pdf[tvec])
+        # pre-sort targets by key: a STABLE selection then yields
+        # (cosine DESC, target_key ASC) order fully vectorized
+        ts = np.argsort(tid, kind="stable")
+        tid, tmat = tid[ts], tmat[ts]
+        sqt = np.sqrt(_fold_norm2(tmat))
+        nt = len(tid)
+        big = np.inf
+        out_q, out_t, out_c = [], [], []
+        chunk = min(nq, max(1, (1 << 20) // max(nt, 1)))
+        acc = np.empty((chunk, nt), np.float64)
+        key = np.empty((chunk, nt), np.float64)
+        for s in range(0, nq, chunk):
+            e = min(s + chunk, nq)
+            m = e - s
+            a = acc[:m]
+            a.fill(0.0)
+            for j in range(dim):
+                # ascending-j accumulation == the SQL left fold,
+                # element by element
+                a += qmat[s:e, j:j + 1] * tmat[:, j][None, :]
+            denom = sqq[s:e, None] * sqt[None, :]
+            cos = np.divide(a, denom, out=a)
+            # ordering key: cosine DESC with NaN FIRST (Spark treats
+            # NaN as greatest). cos = +/-inf cannot occur for finite
+            # inputs (denom == 0 implies an all-zero vector, whose dot
+            # is 0 -> NaN), so -inf keys are exactly the NaN rows and
+            # +inf keys are exclusion filler only.
+            kb = np.negative(cos, out=key[:m])
+            np.copyto(kb, -np.inf, where=np.isnan(kb))
+            if exclude_self:
+                lo = np.searchsorted(tid, qid[s:e], side="left")
+                hi = np.searchsorted(tid, qid[s:e], side="right")
+                for r in np.nonzero(hi > lo)[0]:
+                    kb[r, lo[r]:hi[r]] = big
+            kk = min(kq, nt)
+            sel, keyo = _select_topk_key(kb, kk, big)
+            keep = (keyo != big).ravel()
+            cosv = np.take_along_axis(cos, sel, axis=1).ravel()[keep]
+            out_q.append(np.repeat(qid[s:e], kk)[keep])
+            out_t.append(tid[sel.ravel()[keep]])
+            out_c.append(cosv)
+        yield pd.DataFrame({
+            query_key: np.concatenate(out_q),
+            target_key: np.concatenate(out_t),
+            "cosine": np.concatenate(out_c)})
+
+    from ..functions import ensure_width
+    partials = ensure_width(targets.select(target_key, tvec)) \
+        .mapInPandas(local_topk, out_schema)
     w = Window.partitionBy(query_key).orderBy(
         F.col("cosine").desc(), F.col(target_key))
-    return (cand.withColumn("rank", F.row_number().over(w))
+    return (partials.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_key, target_key, "cosine", "rank"))
+
+
+def _pair_cosine_fn(qkey: str, tkey: str, qvec: str, tvec: str):
+    """mapInArrow scorer for candidate pairs: emits (qkey, tkey,
+    cosine) where cosine is BIT-IDENTICAL to the SQL form
+    ``dot / (sqrt(qn) * sqrt(tn))`` with left-fold dot/norms: the
+    ascending-index ``acc += x_j*y_j`` loop runs separate IEEE-double
+    multiply and add ufuncs (no FMA, no reassociation), float->double
+    widening is exact, and numpy sqrt/divide are the same correctly-
+    rounded IEEE ops the JVM uses. Vectors arrive as one contiguous
+    Arrow values buffer (zero row-wise Python)."""
+    import pyarrow as pa
+
+    def f(it):
+        for b in it:
+            n = b.num_rows
+            if not n:
+                continue
+
+            def flat(name):
+                col = b.column(b.schema.get_field_index(name))
+                v = np.asarray(col.flatten(), dtype=np.float64)
+                return v.reshape(n, -1)
+
+            am = flat(qvec)
+            bm = flat(tvec)
+            dim = am.shape[1]
+            dot = np.zeros(n, np.float64)
+            qn = np.zeros(n, np.float64)
+            tn = np.zeros(n, np.float64)
+            for j in range(dim):
+                aj = am[:, j]
+                bj = bm[:, j]
+                dot += aj * bj
+                qn += aj * aj
+                tn += bj * bj
+            denom = np.sqrt(qn) * np.sqrt(tn)
+            cos = dot / denom
+            yield pa.record_batch(
+                [b.column(b.schema.get_field_index(qkey)),
+                 b.column(b.schema.get_field_index(tkey)),
+                 pa.array(cos, type=pa.float64())],
+                names=[qkey, tkey, "cosine"])
+
+    return f
 
 
 def _planes(dim: int, bits: int, seed: int) -> np.ndarray:
@@ -183,37 +342,49 @@ def ann_topk(queries: DataFrame, targets: DataFrame, k: int, dim: int,
     Queries landing only in dropped buckets return no rows — the
     standard LSH degradation; the operator is approximate by
     contract. ``None`` disables the bound."""
+    qk = queries.select(query_key, qvec)
+    tk = targets.select(target_key, tvec)
+    # candidate generation over SLIM (key, bucket) rows: the 64-float
+    # payloads must not ride the bucket join, the max_bucket window, or
+    # the pair dedup exchange (guide §8: decide with small rows, move
+    # big rows once) — the old shape shuffled qvec+tvec on every
+    # candidate row through dropDuplicates
     if portable:
-        def _sigged(df, vec):
+        def _sigged(df, key, vec):
             exprs = srp_band_buckets_sql(vec, dim, bits, bands, seed)
             arr = "array(" + ", ".join(exprs) + ")"
-            return df.withColumn("bucket", F.explode(F.expr(arr)))
-        q = _sigged(queries, qvec).withColumn(
-            "_qn", F.expr(norm2_expr(qvec)))
-        t = _sigged(targets, tvec).withColumn(
-            "_tn", F.expr(norm2_expr(tvec)))
+            return (df.withColumn("bucket", F.explode(F.expr(arr)))
+                    .select(key, "bucket"))
+        qb = _sigged(qk, query_key, qvec)
+        tb = _sigged(tk, target_key, tvec)
     else:
         sig = signature_udf(dim, bits, bands, seed)
-        q = (queries.withColumn("_sig", sig(F.col(qvec)))
-             .withColumn("bucket", F.explode("_sig")).drop("_sig")
-             .withColumn("_qn", F.expr(norm2_expr(qvec))))
-        t = (targets.withColumn("_sig", sig(F.col(tvec)))
-             .withColumn("bucket", F.explode("_sig")).drop("_sig")
-             .withColumn("_tn", F.expr(norm2_expr(tvec))))
+        qb = qk.select(query_key,
+                       F.explode(sig(F.col(qvec))).alias("bucket"))
+        tb = tk.select(target_key,
+                       F.explode(sig(F.col(tvec))).alias("bucket"))
     if max_bucket is not None:
         wb = Window.partitionBy("bucket")
-        t = (t.withColumn("_bn", F.count("*").over(wb))
-             .where(F.col("_bn") <= max_bucket).drop("_bn"))
-    cand = q.join(t, on="bucket").drop("bucket")
+        tb = (tb.withColumn("_bn", F.count("*").over(wb))
+              .where(F.col("_bn") <= max_bucket).drop("_bn"))
+    cand = qb.join(tb, on="bucket").select(query_key, target_key)
     if exclude_self:
         cand = cand.where(F.col(query_key) != F.col(target_key))
-    cand = (cand
-            .dropDuplicates([query_key, target_key])
-            .withColumn("cosine", F.expr(
-                f"{dot_expr(qvec, tvec)} / (sqrt(_qn) * sqrt(_tn))")))
+    cand = cand.dropDuplicates([query_key, target_key])
+    # re-attach payloads once, per side, AFTER the pair set is final;
+    # dot and both norms are numpy exact folds over the pair batch
+    # (bit-identical to the old interpreted SQL folds — same IEEE op
+    # order, see _pair_cosine_fn), computed in the join's own stage so
+    # the vectors never cross another exchange: the window shuffles
+    # only (q, t, cosine)
+    joined = (cand.join(tk, on=target_key).join(qk, on=query_key)
+              .select(query_key, target_key, qvec, tvec))
+    scored = joined.mapInArrow(
+        _pair_cosine_fn(query_key, target_key, qvec, tvec),
+        f"{query_key} long, {target_key} long, cosine double")
     w = Window.partitionBy(query_key).orderBy(
         F.col("cosine").desc(), F.col(target_key))
-    return (cand.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_key, target_key, "cosine", "rank"))
 
