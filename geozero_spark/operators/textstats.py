@@ -31,21 +31,128 @@ def _arr_lit(words) -> str:
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """n_tokens, n_chars, avg token length, uppercase/digit/punct ratios."""
-    toks = th.tokens(text_col, _D)
-    return (df
-            .withColumn("n_chars", F.expr(f"length({text_col})"))
-            .withColumn("n_tokens", F.expr(f"size({toks})"))
-            .withColumn("avg_token_len", F.expr(
-                f"CAST(length(replace({text_col}, ' ', '')) AS DOUBLE) / "
-                f"greatest(size({toks}), 1)"))
-            .withColumn("digit_ratio", F.expr(
-                f"CAST(length(regexp_replace({text_col}, '[^0-9]', '')) "
-                f"AS DOUBLE) / greatest(length({text_col}), 1)"))
-            .withColumn("punct_ratio", F.expr(
-                f"CAST(length(regexp_replace({text_col}, "
-                f"'[^.,;:!?]', '')) AS DOUBLE) / "
-                f"greatest(length({text_col}), 1)")))
+    """n_tokens, n_chars, avg token length, digit/punct ratios.
+
+    Round-6 allocation diet: every stat is a COUNT, and the old
+    JVM-expression form paid two regexp_replace'd copies of the text,
+    two token-array splits and a space-stripped copy per row —
+    component-measured 18s/1M docs at 2 cores with the two regexes
+    alone ~13s, and the per-row garbage capped in-JVM core scaling at
+    0.596 (round-5 scaling record). This form counts BYTES in one
+    Arrow pass per batch: ASCII class members ([0-9], ' ', .,;:!?)
+    cannot appear as UTF-8 continuation bytes, so byte counts equal
+    char counts; n_chars = bytes - continuation bytes; n_tokens counts
+    space->non-space transitions (== size(filter(split(s,' '),
+    t -> t != ''))). All outputs are integer counts and exact
+    int->double divisions mirroring the original SQL op-for-op, so
+    values (and the DuckDB oracle) are unchanged — pinned by the
+    lang_stats entry. Pass a SLIM frame: every input column crosses
+    the Arrow boundary."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from ..functions import ensure_width
+
+    # idempotent like the old withColumn form: recompute (replace) the
+    # stat columns if the input already carries them
+    df = df.drop("n_chars", "n_tokens", "avg_token_len",
+                 "digit_ratio", "punct_ratio")
+    out_schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("avg_token_len", T.DoubleType()),
+        T.StructField("digit_ratio", T.DoubleType()),
+        T.StructField("punct_ratio", T.DoubleType()),
+    ])
+
+    def stats(it):
+        lut_digit = np.zeros(256, np.int8)
+        lut_digit[0x30:0x3A] = 1
+        lut_punct = np.zeros(256, np.int8)
+        lut_punct[[0x2E, 0x2C, 0x3B, 0x3A, 0x21, 0x3F]] = 1
+        for b in it:
+            n = b.num_rows
+            if not n:
+                continue
+            col = b.column(b.schema.get_field_index(text_col))
+            if col.null_count:
+                # preserve SQL null semantics without complicating the
+                # hot path: compute on empty strings, mask after
+                valid = np.asarray(col.is_valid())
+                col = pa.compute.fill_null(col, "")
+            else:
+                valid = None
+            arr = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            voff, vdat = arr.buffers()[1], arr.buffers()[2]
+            odt = (np.int64 if pa.types.is_large_string(arr.type)
+                   else np.int32)
+            offs = np.frombuffer(voff, dtype=odt,
+                                 count=len(arr) + 1 + arr.offset)
+            offs = offs[arr.offset:].astype(np.int64)
+            data = np.frombuffer(vdat, dtype=np.uint8)
+            lo, hi = offs[0], offs[-1]
+            bts = data[lo:hi]
+            offs = offs - lo
+            lens_b = np.diff(offs)
+
+            def rowsum(mask):
+                # per-row segment counts via match POSITIONS: the
+                # probe side (row offsets) binary-searches the sorted
+                # position list — one vectorized pass over the mask +
+                # O(rows log matches), vs a sequential cumsum 8x the
+                # buffer (or np.add.reduceat at ~100 ns/element; both
+                # measured slower than the old JVM form at 2 cores)
+                pos = np.flatnonzero(mask)
+                return np.diff(np.searchsorted(pos, offs))
+
+            if len(bts):
+                # chars = bytes - UTF-8 continuation bytes
+                n_chars = lens_b - rowsum((bts & 0xC0) == 0x80)
+                sp = bts == 0x20
+                n_sp = rowsum(sp)
+                n_digit = rowsum(lut_digit[bts])
+                n_punct = rowsum(lut_punct[bts])
+                # token starts: non-space byte whose predecessor
+                # (within the row) is a space or the row start
+                ns = ~sp
+                prev_sp = np.empty_like(sp)
+                prev_sp[0] = True
+                prev_sp[1:] = sp[:-1]
+                starts = rowsum(ns & prev_sp)
+                nz = lens_b > 0
+                s_idx = offs[:-1][nz]
+                first_ns = ns[s_idx]
+                inner = s_idx > 0
+                miss = np.zeros(len(lens_b), bool)
+                # rows whose first byte is non-space but whose flat
+                # predecessor (last byte of the PREVIOUS row) was also
+                # non-space: the transition mask missed this start
+                m = np.zeros(first_ns.shape, bool)
+                m[inner] = first_ns[inner] & ns[s_idx[inner] - 1]
+                miss[nz] = m
+                n_tokens = starts + miss
+            else:
+                n_chars = np.zeros(len(lens_b), np.int64)
+                n_sp = n_digit = n_punct = n_chars
+                n_tokens = n_chars
+            # exact SQL arithmetic, op for op
+            avg = (n_chars - n_sp).astype(np.float64) \
+                / np.maximum(n_tokens, 1)
+            dr = n_digit.astype(np.float64) / np.maximum(n_chars, 1)
+            pr = n_punct.astype(np.float64) / np.maximum(n_chars, 1)
+            mask = None if valid is None else ~valid
+            yield pa.record_batch(
+                list(b.columns) + [
+                    pa.array(n_chars.astype(np.int32), mask=mask),
+                    pa.array(n_tokens.astype(np.int32), mask=mask),
+                    pa.array(avg, mask=mask),
+                    pa.array(dr, mask=mask),
+                    pa.array(pr, mask=mask)],
+                names=[f.name for f in out_schema.fields])
+
+    return ensure_width(df).mapInArrow(stats, out_schema)
 
 
 def stopword_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
