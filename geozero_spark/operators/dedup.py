@@ -312,14 +312,20 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
         # truncate lineage EVERY round: sym references e twice, so the
         # logical plan otherwise doubles per round — analysis alone
         # goes exponential by round ~10 (measured: plan treeString
-        # blow-up long before any data size problem)
+        # blow-up long before any data size problem). The convergence
+        # fingerprint rides the SAME materialization via observe()
+        # instead of a separate agg job per round (the star rounds are
+        # barrier-dominated at small edge counts — one job per round,
+        # not two).
+        from pyspark.sql import Observation
+        obs = Observation()
+        e = e.observe(obs,
+                      F.count(F.lit(1)).alias("n"),
+                      F.coalesce(F.expr(f"bit_xor(xxhash64({u}, {v}))"),
+                                 F.lit(0)).alias("h"))
         e = e.localCheckpoint(eager=True)
-        fp = e.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.expr(f"bit_xor(xxhash64({u}, {v}))"),
-                       F.lit(0)).alias("h")
-        ).collect()[0]
-        fp = (fp["n"], fp["h"])
+        got = obs.get
+        fp = (got["n"], got["h"])
         if fp == prev_fp:
             break
         prev_fp = fp
