@@ -70,7 +70,7 @@ def with_cell_col(df: DataFrame, lon: Column | str, lat: Column | str,
     each step references its input twice and the input is non-cheap —
     so codegen sees every intermediate exactly once. Keep the sqlgen
     text form for DuckDB oracles and parquet-pushdown predicates
-    (Project-into-Filter pushdown WOULD re-inline; see CLAUDE.md).
+    (Project-into-Filter pushdown WOULD re-inline; see PLANS.md).
     """
     n = 1 << res
     lonc = F.col(lon) if isinstance(lon, str) else lon

@@ -293,14 +293,20 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
          .distinct())
     prev_fp = None
     for _ in range(max_rounds):
-        # large-star: every neighbor v > u links to m(u) = min(N(u), u)
+        # large-star: every neighbor v > u links to m(u) = min(N(u), u).
+        # NO distinct here (one fewer full-edge exchange per round):
+        # duplicate (v, m) rows are harmless through the small-star —
+        # its groupBy-min ignores multiplicity and the round's final
+        # distinct restores set semantics — and the duplication factor
+        # is bounded by the join output that already exists (a dup
+        # needs several u-neighbors of one v sharing m(u); star-shaped
+        # rounds emit distinct children per root, so it stays small).
         sym = e.union(e.select(F.col(v).alias(u), F.col(u).alias(v)))
         mins = sym.groupBy(u).agg(F.min(v).alias("_mn"))
         mins = mins.withColumn("_m", F.least(F.col(u), F.col("_mn")))
         e = (sym.join(mins.select(u, "_m"), on=u)
              .where(F.col(v) > F.col(u))
-             .select(F.col(v).alias(u), F.col("_m").alias(v))
-             .distinct())
+             .select(F.col(v).alias(u), F.col("_m").alias(v)))
         # small-star: for canonical (h > l) edges, every l (and h)
         # links to m(h) = min over h's low neighbors
         mins = e.groupBy(u).agg(F.min(v).alias("_m"))

@@ -309,7 +309,7 @@ def _feature_json_rows(feat_iter) -> list:
     matching the `wkb string, props map<string,string>` from_json
     schema every feature scan shares (pyspark's Arrow serializer
     crashes on struct-typed UDF outputs — types.py metadata bug, see
-    CLAUDE.md — hence the JSON detour)."""
+    PLANS.md — hence the JSON detour)."""
     from ..kernel import wkb as kwkb
 
     rows = []
@@ -351,7 +351,7 @@ def _feature_blob_scan(spark: SparkSession, path: str, glob: str,
     kernel iterator yielding (Geom|None, props dict) -> one JSON
     string per feature (wkb hex + stringified props; pyspark's Arrow
     serializer crashes on struct-typed UDF outputs — types.py metadata
-    bug, see CLAUDE.md) -> JVM posexplode + from_json/unhex -> decoded
+    bug, see PLANS.md) -> JVM posexplode + from_json/unhex -> decoded
     geometry struct + props map. One row per feature:
     (path, feature_idx, geom, props)."""
     from pyspark.sql.functions import pandas_udf
