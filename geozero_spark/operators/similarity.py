@@ -169,7 +169,8 @@ def cosine_topk(queries: DataFrame, targets: DataFrame, k: int,
             .select(query_key, target_key, "cosine", "rank"))
 
 
-def _pair_cosine_fn(qkey: str, tkey: str, qvec: str, tvec: str):
+def _pair_cosine_fn(qkey: str, tkey: str, qvec: str, tvec: str,
+                    local_k: int | None = None):
     """mapInArrow scorer for candidate pairs: emits (qkey, tkey,
     cosine) where cosine is BIT-IDENTICAL to the SQL form
     ``dot / (sqrt(qn) * sqrt(tn))`` with left-fold dot/norms: the
@@ -177,10 +178,18 @@ def _pair_cosine_fn(qkey: str, tkey: str, qvec: str, tvec: str):
     multiply and add ufuncs (no FMA, no reassociation), float->double
     widening is exact, and numpy sqrt/divide are the same correctly-
     rounded IEEE ops the JVM uses. Vectors arrive as one contiguous
-    Arrow values buffer (zero row-wise Python)."""
+    Arrow values buffer (zero row-wise Python).
+
+    ``local_k``: emit only each query's local_k best pairs OF THIS
+    TASK by (cosine DESC NaN-first, tkey ASC) — the same TOTAL order
+    the downstream window ranks by, so the global top-k is a subset of
+    the union of task-local top-ks and the window's result is
+    unchanged, while its input shrinks from |candidates| to
+    |tasks| * |Q| * k rows."""
     import pyarrow as pa
 
     def f(it):
+        acc_q, acc_t, acc_c = [], [], []
         for b in it:
             n = b.num_rows
             if not n:
@@ -205,10 +214,37 @@ def _pair_cosine_fn(qkey: str, tkey: str, qvec: str, tvec: str):
                 tn += bj * bj
             denom = np.sqrt(qn) * np.sqrt(tn)
             cos = dot / denom
+            qs = b.column(b.schema.get_field_index(qkey))
+            ts = b.column(b.schema.get_field_index(tkey))
+            if local_k is None:
+                yield pa.record_batch(
+                    [qs, ts, pa.array(cos, type=pa.float64())],
+                    names=[qkey, tkey, "cosine"])
+            else:
+                acc_q.append(np.asarray(qs, dtype=np.int64))
+                acc_t.append(np.asarray(ts, dtype=np.int64))
+                acc_c.append(cos)
+        if local_k is not None and acc_q:
+            qa = np.concatenate(acc_q)
+            ta = np.concatenate(acc_t)
+            ca = np.concatenate(acc_c)
+            # cos = +/-inf cannot occur for finite inputs (zero norm
+            # implies dot == 0 -> NaN), so mapping NaN below every
+            # finite key reproduces Spark's NaN-greatest DESC order
+            key = np.negative(ca)
+            np.copyto(key, -np.inf, where=np.isnan(key))
+            order = np.lexsort((ta, key, qa))
+            qs_sorted = qa[order]
+            starts = np.nonzero(np.r_[True, qs_sorted[1:]
+                                      != qs_sorted[:-1]])[0]
+            ends = np.r_[starts[1:], len(qs_sorted)]
+            take = np.concatenate([
+                order[s:min(s + local_k, e)]
+                for s, e in zip(starts, ends)])
             yield pa.record_batch(
-                [b.column(b.schema.get_field_index(qkey)),
-                 b.column(b.schema.get_field_index(tkey)),
-                 pa.array(cos, type=pa.float64())],
+                [pa.array(qa[take], type=pa.int64()),
+                 pa.array(ta[take], type=pa.int64()),
+                 pa.array(ca[take], type=pa.float64())],
                 names=[qkey, tkey, "cosine"])
 
     return f
@@ -380,7 +416,8 @@ def ann_topk(queries: DataFrame, targets: DataFrame, k: int, dim: int,
     joined = (cand.join(tk, on=target_key).join(qk, on=query_key)
               .select(query_key, target_key, qvec, tvec))
     scored = joined.mapInArrow(
-        _pair_cosine_fn(query_key, target_key, qvec, tvec),
+        _pair_cosine_fn(query_key, target_key, qvec, tvec,
+                        local_k=k),
         f"{query_key} long, {target_key} long, cosine double")
     w = Window.partitionBy(query_key).orderBy(
         F.col("cosine").desc(), F.col(target_key))
