@@ -460,12 +460,76 @@ def _cos_vs_centroid(vec: str, cvec: str) -> str:
 def _assign(vectors: DataFrame, centroids: DataFrame, key: str,
             vec: str, topn: int = 1) -> DataFrame:
     """(key, cid) of the `topn` nearest centroids by cosine, ties by
-    cid — centroids are tiny and ride a broadcast."""
-    cand = vectors.select(key, vec).crossJoin(F.broadcast(centroids))
-    cand = cand.withColumn("_cos", F.expr(_cos_vs_centroid(vec, "cvec")))
-    w = Window.partitionBy(key).orderBy(F.col("_cos").desc(), "cid")
-    return (cand.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= topn).select(key, "cid"))
+    cid. One map-only Arrow pass: the centroids are driver-bounded (k
+    rows — the same bound their broadcast already implied), collected
+    once and closed over, so the old crossJoin's k-fold candidate
+    blowup, the per-pair interpreted higher-order folds (zip_with/
+    aggregate run OUTSIDE codegen), and the row_number window's
+    (key)-exchange all disappear from the plan.
+
+    The per-(vector, centroid) cosine is BIT-IDENTICAL to the SQL form
+    ``_cos_vs_centroid`` (which the DuckDB oracle mirrors): ascending-
+    index ``acc += x_j*y_j`` folds from 0.0 with separate IEEE-double
+    multiply and add ufuncs (no FMA, no reassociation), float->double
+    widening exact, denom = sqrt(qn)*sqrt(cn) then divide. Selection
+    reproduces Spark's (cos DESC NaN-first, cid ASC) total order via
+    key=-cos with NaN->-inf and a stable argsort over cid-ascending
+    centroid columns (+/-inf cosines are impossible for finite
+    inputs: a zero norm zeroes the dot too, giving NaN — which the
+    old SQL form could not produce at all: ANSI mode raised
+    DIVIDE_BY_ZERO on the 0/0, so zero-norm vectors crashed the
+    query; here they deterministically take the lowest cid). Pinned
+    against the SQL form in tests/test_similarity.py."""
+    import pyarrow as pa
+
+    crows = sorted((r["cid"], list(r["cvec"]))
+                   for r in centroids.select("cid", "cvec").collect())
+    cids = np.array([c for c, _ in crows], dtype=np.int64)
+    cmat = np.array([v for _, v in crows], dtype=np.float64)  # (k, dim)
+    kc = len(cids)
+    cn = np.zeros(kc, np.float64)
+    for j in range(cmat.shape[1]):
+        cj = cmat[:, j]
+        cn += cj * cj
+    croot = np.sqrt(cn)
+    nsel = min(topn, kc)
+
+    def f(it):
+        for b in it:
+            n = b.num_rows
+            if not n:
+                continue
+            col = b.column(b.schema.get_field_index(vec))
+            x = np.asarray(col.flatten(),
+                           dtype=np.float64).reshape(n, -1)
+            dim = x.shape[1]
+            qn = np.zeros(n, np.float64)
+            for j in range(dim):
+                xj = x[:, j]
+                qn += xj * xj
+            qroot = np.sqrt(qn)
+            cos = np.empty((n, kc), np.float64)
+            for ci in range(kc):
+                dot = np.zeros(n, np.float64)
+                cv = cmat[ci]
+                for j in range(dim):
+                    dot += x[:, j] * cv[j]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos[:, ci] = dot / (qroot * croot[ci])
+            sortkey = np.negative(cos)
+            np.copyto(sortkey, -np.inf, where=np.isnan(sortkey))
+            order = np.argsort(sortkey, axis=1, kind="stable")[:, :nsel]
+            keys = b.column(b.schema.get_field_index(key))
+            out_keys = keys.take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), nsel)))
+            yield pa.record_batch(
+                [out_keys,
+                 pa.array(cids[order].ravel(), type=pa.int64())],
+                names=[key, "cid"])
+
+    key_type = dict(vectors.dtypes)[key]
+    return vectors.select(key, vec).mapInArrow(
+        f, f"{key} {key_type}, cid long")
 
 
 def ivf_fit(targets: DataFrame, k_clusters: int, iters: int = 2,

@@ -115,6 +115,50 @@ def test_ivf_fast_matches_portable_assignments(spark):
     assert m_p == m_f
 
 
+def test_assign_matches_sql_fold_bitwise(spark):
+    """The numpy _assign must reproduce the old SQL form — crossJoin +
+    _cos_vs_centroid interpreted folds + (cos DESC, cid) row_number —
+    EXACTLY, row for row, because the ann_ivf oracle mirrors that SQL.
+    Covers topn=1 and topn=3 on the sf corpus. A zero-norm vector is
+    checked numpy-side only: its cosine is NaN against every centroid
+    and it lands on the LOWEST cid (NaN-first DESC order) — the SQL
+    form cannot even run that case, ANSI mode raises DIVIDE_BY_ZERO
+    on the 0/0."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t = e.select(F.col("vec_id").alias("t_id"),
+                 F.col("embedding").alias("tvec"))
+    dim = len(t.select("tvec").head()[0])
+    zero = spark.range(1).selectExpr(
+        "id + 1000000 AS t_id",
+        f"array_repeat(CAST(0.0 AS FLOAT), {dim}) AS tvec")
+    c = S.ivf_fit(t, Q.IVF_K, iters=1, fast=False)
+    c = spark.createDataFrame(c.collect(), schema=c.schema)
+
+    def sql_assign(vectors, centroids, topn):
+        cand = vectors.select("t_id", "tvec").crossJoin(
+            F.broadcast(centroids))
+        cand = cand.withColumn(
+            "_cos", F.expr(S._cos_vs_centroid("tvec", "cvec")))
+        w = Window.partitionBy("t_id").orderBy(
+            F.col("_cos").desc(), "cid")
+        return (cand.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") <= topn).select("t_id", "cid"))
+
+    for topn in (1, 3):
+        got = sorted((r.t_id, r.cid) for r in
+                     S._assign(t, c, "t_id", "tvec", topn=topn)
+                     .collect())
+        want = sorted((r.t_id, r.cid) for r in
+                      sql_assign(t, c, topn).collect())
+        assert got == want, f"topn={topn} mismatch"
+    low_cids = sorted(r.cid for r in c.collect())[:1]
+    zero_rows = [r.cid for r in
+                 S._assign(zero, c, "t_id", "tvec").collect()]
+    assert zero_rows == low_cids
+
+
 def test_ivf_fast_plan_has_no_collect_list(spark):
     """The scale mode's per-round mean aggregation must be a plain
     partial-aggregating avg(): no collect_list (the per-cluster memory
