@@ -98,3 +98,87 @@ def test_knn_boundary_tie_explosion(spark):
             for r in knn_join(q, t, k=3, res=2, exclude_self=False,
                               method=method).collect())
         assert got == sorted(want), method
+
+
+def _kernel_reference(qrows, trows, k, exclude_self):
+    """Python ground truth for _local_topk_arrays: per query, the k
+    nearest of these targets by (dist2, target_key); self-exclusion
+    drops EVERY target sharing the query's key."""
+    out = []
+    for qid, qx, qy in qrows:
+        cands = sorted(((tx - qx) ** 2 + (ty - qy) ** 2, tid)
+                       for tid, tx, ty in trows
+                       if not (exclude_self and tid == qid))
+        out.extend((qid, tid, d2) for d2, tid in cands[:k])
+    return sorted(out)
+
+
+def _run_kernel(qrows, trows, k, exclude_self=True, budget=1 << 20):
+    from geozero_spark.operators.knn import _local_topk_arrays
+    qid = np.array([r[0] for r in qrows], np.int64)
+    qx = np.array([r[1] for r in qrows], np.int64)
+    qy = np.array([r[2] for r in qrows], np.int64)
+    tid = np.array([r[0] for r in trows], np.int64)
+    tx = np.array([r[1] for r in trows], np.int64)
+    ty = np.array([r[2] for r in trows], np.int64)
+    q, t, d = _local_topk_arrays(qid, qx, qy, tid, tx, ty, k,
+                                 exclude_self, budget=budget)
+    return sorted(zip(q.tolist(), t.tolist(), d.tolist()))
+
+
+def test_kernel_packed_vs_int64_paths_match_reference():
+    """The packed uint32 kernel (|coords| <= 23000) and the int64
+    fallback must both equal the python reference — including at the
+    envelope EDGE (+/-23000, where dx^2 = 46000^2 is within 1.5% of
+    int32 max) and just past it (23001 flips the whole group to the
+    int64 path). Tiny budget forces multi-chunk reuse of the scratch
+    buffers."""
+    rng = np.random.default_rng(11)
+    nt, nq, k = 80, 37, 4
+    tx = rng.integers(-23000, 23001, size=nt)
+    ty = rng.integers(-23000, 23001, size=nt)
+    trows = [(int(i), int(x), int(y)) for i, (x, y) in
+             enumerate(zip(tx, ty))]
+    # force the exact envelope corners in (targets and a query)
+    trows[0] = (0, -23000, 23000)
+    trows[1] = (1, 23000, -23000)
+    qrows = [(int(200 + i), int(x), int(y)) for i, (x, y) in
+             enumerate(zip(rng.integers(-23000, 23001, size=nq),
+                           rng.integers(-23000, 23001, size=nq)))]
+    qrows[0] = (200, 23000, 23000)
+    for budget in (1 << 20, 16):  # 16: chunk=1, many refills
+        got = _run_kernel(qrows, trows, k, exclude_self=False,
+                          budget=budget)
+        assert got == _kernel_reference(qrows, trows, k, False), budget
+    # one out-of-envelope coordinate -> whole group takes the int64
+    # path; same answers for the same geometry shifted out of range
+    shift = 30000
+    trows_s = [(i, x + shift, y) for i, x, y in trows]
+    qrows_s = [(i, x + shift, y) for i, x, y in qrows]
+    got_s = _run_kernel(qrows_s, trows_s, k, exclude_self=False)
+    assert got_s == _kernel_reference(qrows_s, trows_s, k, False)
+    # the shifted run preserves the unshifted distances (pure
+    # translation): cross-check the two paths compute the same top-k
+    got = _run_kernel(qrows, trows, k, exclude_self=False)
+    assert [(q - 0, t, d) for q, t, d in got] == \
+        [(q, t, d) for q, t, d in got_s]
+
+
+def test_kernel_exclude_self_duplicate_keys_and_small_nt():
+    """Self-exclusion must drop EVERY target row sharing the query's
+    key (duplicate keys: the searchsorted lo:hi span), k >= nt takes
+    the no-argpartition branch, and all-identical coordinates tie on
+    every row (the packed key's tie-break by target key)."""
+    trows = [(7, 0, 0), (7, 50, 0), (3, 100, 100), (9, -40, 30),
+             (12, 0, -60)]
+    qrows = [(7, 10, 10), (5, 0, 0)]
+    for k in (2, 5, 9):
+        got = _run_kernel(qrows, trows, k, exclude_self=True)
+        assert got == _kernel_reference(qrows, trows, k, True), k
+    # every target at the same point: full tie field, winners must be
+    # the lowest target keys
+    trows = [(i, 500, 500) for i in (31, 4, 17, 25, 8)]
+    qrows = [(100, 0, 0)]
+    got = _run_kernel(qrows, trows, 3, exclude_self=False)
+    assert got == [(100, 4, 500000), (100, 8, 500000),
+                   (100, 17, 500000)]
